@@ -1,0 +1,113 @@
+"""HuggingFace checkpoint ingest: torch state dict -> rsq_tpu pytree.
+
+Counterpart of the reference's `model_utils.get_model` (which keeps the HF
+torch module and mutates it); here the HF checkpoint is a one-way import on
+the host, after which everything is JAX.  Weights are transposed to the
+(in, out) layout used by models/llama.py.
+
+torch is only imported inside these functions so the rest of the framework
+has no torch dependency.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from rsq_tpu.models.config import ModelConfig, RopeScaling
+
+_LAYER_KEYS = {
+    "q": "self_attn.q_proj",
+    "k": "self_attn.k_proj",
+    "v": "self_attn.v_proj",
+    "o": "self_attn.o_proj",
+    "up": "mlp.up_proj",
+    "gate": "mlp.gate_proj",
+    "down": "mlp.down_proj",
+}
+
+
+def config_from_hf(hf_config) -> ModelConfig:
+    """Map a transformers config (Llama/Qwen2/Mistral) onto ModelConfig."""
+    family = {"llama": "llama", "qwen2": "qwen2", "mistral": "mistral"}.get(
+        hf_config.model_type, "llama")
+    scaling = None
+    rs = getattr(hf_config, "rope_scaling", None)
+    if rs and rs.get("rope_type", rs.get("type")) == "llama3":
+        scaling = RopeScaling(
+            factor=rs["factor"],
+            low_freq_factor=rs["low_freq_factor"],
+            high_freq_factor=rs["high_freq_factor"],
+            original_max_position_embeddings=rs["original_max_position_embeddings"])
+    return ModelConfig(
+        vocab_size=hf_config.vocab_size,
+        hidden_size=hf_config.hidden_size,
+        intermediate_size=hf_config.intermediate_size,
+        num_layers=hf_config.num_hidden_layers,
+        num_attention_heads=hf_config.num_attention_heads,
+        num_key_value_heads=getattr(hf_config, "num_key_value_heads",
+                                    hf_config.num_attention_heads),
+        head_dim=getattr(hf_config, "head_dim", None),
+        rope_theta=getattr(hf_config, "rope_theta", 10000.0),
+        rope_scaling=scaling,
+        rms_norm_eps=hf_config.rms_norm_eps,
+        attention_bias=getattr(hf_config, "attention_bias",
+                               family == "qwen2"),
+        tie_word_embeddings=getattr(hf_config, "tie_word_embeddings", False),
+        max_position_embeddings=hf_config.max_position_embeddings,
+        family=family)
+
+
+def params_from_state_dict(sd, cfg: ModelConfig, dtype=np.float32):
+    """Convert an HF state dict (torch tensors or numpy arrays) into the
+    rsq_tpu param pytree (numpy host arrays; callers device_put as needed)."""
+    import jax.numpy as jnp
+
+    def get(name):
+        t = sd[name]
+        if hasattr(t, "detach"):
+            t = t.detach().to("cpu").float().numpy()
+        return np.asarray(t, dtype=dtype)
+
+    def lin(prefix):
+        p = {"w": jnp.asarray(get(prefix + ".weight").T)}
+        p["b"] = (jnp.asarray(get(prefix + ".bias"))
+                  if prefix + ".bias" in sd else None)
+        return p
+
+    layers = []
+    for i in range(cfg.num_layers):
+        base = f"model.layers.{i}."
+        lp = {name: lin(base + hf_name) for name, hf_name in _LAYER_KEYS.items()}
+        lp["input_norm"] = jnp.asarray(get(base + "input_layernorm.weight"))
+        lp["post_norm"] = jnp.asarray(get(base + "post_attention_layernorm.weight"))
+        layers.append(lp)
+
+    embed = get("model.embed_tokens.weight")
+    if cfg.tie_word_embeddings or "lm_head.weight" not in sd:
+        lm_head = embed.T.copy()
+    else:
+        lm_head = get("lm_head.weight").T
+    return {
+        "embed": jnp.asarray(embed),
+        "layers": layers,
+        "final_norm": jnp.asarray(get("model.norm.weight")),
+        "lm_head": jnp.asarray(lm_head),
+    }
+
+
+def from_hf_model(model):
+    """(torch transformers model) -> (ModelConfig, params pytree)."""
+    cfg = config_from_hf(model.config)
+    return cfg, params_from_state_dict(model.state_dict(), cfg)
+
+
+def load_hf(path_or_name: str, dtype=np.float32):
+    """Load an HF checkpoint from a local path (or hub when network exists)."""
+    from transformers import AutoConfig, AutoModelForCausalLM
+    import torch
+
+    hf_config = AutoConfig.from_pretrained(path_or_name)
+    model = AutoModelForCausalLM.from_pretrained(
+        path_or_name, torch_dtype=torch.float32, low_cpu_mem_usage=True)
+    cfg = config_from_hf(hf_config)
+    return cfg, params_from_state_dict(model.state_dict(), cfg, dtype=dtype)
