@@ -1,0 +1,174 @@
+"""GPTQ solver tests: a direct numpy implementation of the published GPTQ
+algorithm is the oracle (the reference repo itself has no unit tests;
+SURVEY.md §4), plus algebraic properties (H=I => RTN; GPTQ error <= RTN
+error in the Hessian metric)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rsq_tpu.core.quant import WeightQuantConfig, weight_quant_params, weight_fake_quant
+from rsq_tpu.quantize import gptq as G
+
+
+# -------------------------------------------------------------------
+# Straightforward numpy GPTQ (textbook form of the algorithm) as oracle
+# -------------------------------------------------------------------
+
+def numpy_gptq(W, H, bits=4, blocksize=4, percdamp=0.01, groupsize=-1):
+    W = W.astype(np.float64).copy()
+    H = H.astype(np.float64).copy()
+    rows, cols = W.shape
+    maxq = 2 ** (bits - 1) - 1
+
+    dead = np.diag(H) == 0
+    H[dead, dead] = 1.0
+    W[:, dead] = 0.0
+
+    # per-row symmetric scale from the full W
+    amax = np.maximum(np.abs(W.min(1)), W.max(1)).clip(min=1e-5)
+    scale = amax / maxq
+
+    damp = percdamp * np.mean(np.diag(H))
+    H[np.diag_indices(cols)] += damp
+    Hinv = np.linalg.inv(H)
+    # upper factor U with Hinv = U^T U
+    U = np.linalg.cholesky(Hinv).T
+
+    Q = np.zeros_like(W)
+    for i1 in range(0, cols, blocksize):
+        i2 = min(i1 + blocksize, cols)
+        W1 = W[:, i1:i2].copy()
+        Err = np.zeros_like(W1)
+        for i in range(i2 - i1):
+            if groupsize > 0 and (i1 + i) % groupsize == 0:
+                grp = W1[:, i:i + groupsize]
+                amax = np.maximum(np.abs(grp.min(1)), grp.max(1)).clip(min=1e-5)
+                scale = amax / maxq
+            w = W1[:, i]
+            d = U[i1 + i, i1 + i]
+            q = np.clip(np.round(w / scale), -maxq - 1, maxq) * scale
+            Q[:, i1 + i] = q
+            err = (w - q) / d
+            W1[:, i:] -= np.outer(err, U[i1 + i, i1 + i:i2])
+            Err[:, i] = err
+        W[:, i2:] -= Err @ U[i1:i2, i2:]
+    return Q
+
+
+def _random_problem(rows=8, cols=16, nsamples=64, seed=0):
+    rng = np.random.default_rng(seed)
+    W = rng.standard_normal((rows, cols)).astype(np.float32)
+    # correlated inputs -> interesting Hessian
+    A = rng.standard_normal((cols, cols)).astype(np.float32)
+    X = rng.standard_normal((nsamples, cols)).astype(np.float32) @ A
+    H = (2.0 / nsamples) * X.T @ X
+    return W, H
+
+
+@pytest.mark.parametrize("groupsize", [-1, 4])
+def test_gptq_matches_numpy_oracle(groupsize):
+    W, H = _random_problem()
+    want = numpy_gptq(W, H, bits=4, blocksize=4, groupsize=groupsize)
+    wq = WeightQuantConfig(bits=4, sym=True, mse=False)
+    got, info = G.gptq_quantize(
+        jnp.asarray(W), jnp.asarray(H), wq,
+        G.GPTQConfig(blocksize=4, groupsize=groupsize))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-5)
+
+
+def test_gptq_identity_hessian_equals_rtn():
+    rng = np.random.default_rng(1)
+    W = jnp.asarray(rng.standard_normal((8, 32)).astype(np.float32))
+    H = jnp.eye(32)
+    wq = WeightQuantConfig(bits=4, sym=True)
+    got, _ = G.gptq_quantize(W, H, wq, G.GPTQConfig(blocksize=8))
+    scale, zero = weight_quant_params(W, wq)
+    want = weight_fake_quant(W, scale, zero, wq)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_gptq_beats_rtn_in_hessian_metric():
+    W, H = _random_problem(rows=16, cols=64, nsamples=256, seed=2)
+    wq = WeightQuantConfig(bits=3, sym=True)
+    Wj, Hj = jnp.asarray(W), jnp.asarray(H)
+    q_gptq, _ = G.gptq_quantize(Wj, Hj, wq, G.GPTQConfig(blocksize=16))
+    q_rtn, _ = G.rtn_quantize(Wj, wq)
+    assert G.quant_error(Wj, q_gptq, Hj) < G.quant_error(Wj, q_rtn, Hj)
+
+
+def test_gptq_actorder_runs_and_is_sane():
+    W, H = _random_problem(rows=8, cols=32, seed=3)
+    wq = WeightQuantConfig(bits=4, sym=True)
+    q, _ = G.gptq_quantize(jnp.asarray(W), jnp.asarray(H), wq,
+                           G.GPTQConfig(blocksize=8, actorder=True))
+    assert np.isfinite(np.asarray(q)).all()
+    # same Hessian metric ballpark as unpermuted
+    q0, _ = G.gptq_quantize(jnp.asarray(W), jnp.asarray(H), wq,
+                            G.GPTQConfig(blocksize=8))
+    e_ord = G.quant_error(jnp.asarray(W), q, jnp.asarray(H))
+    e_base = G.quant_error(jnp.asarray(W), q0, jnp.asarray(H))
+    assert e_ord < e_base * 2.0
+
+
+def test_gptq_dead_columns_zeroed():
+    W, H = _random_problem(rows=4, cols=8, seed=4)
+    H = H.copy()
+    H[:, 3] = 0
+    H[3, :] = 0
+    wq = WeightQuantConfig(bits=4, sym=True)
+    q, _ = G.gptq_quantize(jnp.asarray(W), jnp.asarray(H), wq,
+                           G.GPTQConfig(blocksize=4))
+    np.testing.assert_array_equal(np.asarray(q)[:, 3], 0.0)
+
+
+def test_gptq_nondivisible_blocksize_padding():
+    W, H = _random_problem(rows=4, cols=12, seed=5)   # 12 % 8 != 0
+    wq = WeightQuantConfig(bits=4, sym=True)
+    q, _ = G.gptq_quantize(jnp.asarray(W), jnp.asarray(H), wq,
+                           G.GPTQConfig(blocksize=8))
+    want = numpy_gptq(W, H, bits=4, blocksize=8)
+    np.testing.assert_allclose(np.asarray(q), want, rtol=1e-4, atol=1e-5)
+
+
+def test_hessian_closed_form_matches_running_update():
+    """Closed form == reference's telescoped running update with weighting."""
+    rng = np.random.default_rng(6)
+    N, L, d = 5, 7, 6
+    xs = rng.standard_normal((N, L, d)).astype(np.float32)
+    w = rng.uniform(0.1, 2.0, size=(N, L)).astype(np.float32)
+
+    # reference-style running update (gptq_utils.py:111-130)
+    H_ref = np.zeros((d, d))
+    n = 0
+    for j in range(N):
+        H_ref *= n / (n + 1)
+        n += 1
+        inp = np.sqrt(2 / n) * xs[j].T  # (d, L)
+        wj = w[j] / w[j].sum() * L
+        inp = inp * np.sqrt(wj)[None, :]
+        H_ref += inp @ inp.T
+
+    H = G.hessian_from_inputs(jnp.asarray(xs), jnp.asarray(w))
+    np.testing.assert_allclose(np.asarray(H), H_ref, rtol=1e-4, atol=1e-5)
+
+
+def test_hessian_unweighted():
+    rng = np.random.default_rng(7)
+    xs = rng.standard_normal((3, 5, 4)).astype(np.float32)
+    H = G.hessian_from_inputs(jnp.asarray(xs))
+    X = xs.reshape(-1, 4)
+    want = 2.0 / 3 * sum(xs[j].T @ xs[j] for j in range(3))
+    np.testing.assert_allclose(np.asarray(H), want, rtol=1e-5, atol=1e-6)
+
+
+def test_add_until_fail_on_singular_hessian():
+    rng = np.random.default_rng(8)
+    X = rng.standard_normal((2, 16)).astype(np.float32)  # rank-2 => singular H
+    H = X.T @ X
+    W = jnp.asarray(rng.standard_normal((4, 16)).astype(np.float32))
+    wq = WeightQuantConfig(bits=4, sym=True)
+    q, _ = G.gptq_quantize(W, jnp.asarray(H), wq,
+                           G.GPTQConfig(blocksize=8, add_until_fail=True))
+    assert np.isfinite(np.asarray(q)).all()
