@@ -364,6 +364,39 @@ def head_mixing_hadamard(x: jax.Array, head_dim: int, dtype=None) -> jax.Array:
     return xs.reshape(x.shape)
 
 
+def fwht_np(x: np.ndarray) -> np.ndarray:
+    """Unnormalized WHT over the last axis, numpy (host-side f64 path)."""
+    n = x.shape[-1]
+    assert is_pow2(n)
+    orig_shape = x.shape
+    h = 1
+    while h < n:
+        x = x.reshape(*orig_shape[:-1], n // (2 * h), 2, h)
+        a = x[..., 0, :]
+        b = x[..., 1, :]
+        x = np.concatenate([a + b, a - b], axis=-1)
+        h *= 2
+    return x.reshape(orig_shape)
+
+
+def matmul_hadU_np(x: np.ndarray) -> np.ndarray:
+    """Host (numpy, f64-capable) version of matmul_hadU: x @ M^T / sqrt(n).
+
+    Used for weight-side exact-Hadamard folding during rotation, where the
+    reference also works in high precision on the host
+    (rotation_utils.py:122-190, hadamard_utils.py:116-171)."""
+    n = x.shape[-1]
+    K, hadK = get_hadK(n)
+    if K == 1:
+        out = fwht_np(x)
+    else:
+        m = n // K
+        xs = fwht_np(x.reshape(*x.shape[:-1], K, m))
+        out = np.einsum("kl,...lj->...kj", hadK.astype(x.dtype), xs)
+        out = out.reshape(*x.shape[:-1], n)
+    return out / math.sqrt(n)
+
+
 # ---------------------------------------------------------------------------
 # Random orthogonal generators (host-side, float64 — TPUs lack native f64, so
 # rotation matrices are produced on CPU exactly as the reference does on host;
