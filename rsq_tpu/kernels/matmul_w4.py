@@ -1,0 +1,237 @@
+"""Fused dequant INT4 matmul kernels.
+
+TPU replacement for the reference's CUTLASS INT4xINT4 GEMM + separate
+sym_quant/sym_dequant kernels (quarot/kernels/gemm.cu:6-45, quant.cu:11-97):
+here quantization of activations, the matmul, and the dual-scale dequant are
+ONE Pallas kernel, so intermediate int tensors never touch HBM.
+
+Weight layout — "planar" int4 packing of W (K, N) stored as uint8 (K, N/2):
+byte (k, j) holds value (k, j) in the low nibble and (k, j + N/2) in the
+high nibble.  Unpacking is then two shifts + a concat along N — no lane
+interleaving (unlike the reference's adjacent-pair packing,
+quant_utils.py:114-121, which we keep only for checkpoint compat in
+core.quant.pack_int4).
+
+The MXU path computes int4xint4 products in bf16 with f32 accumulation:
+|values| <= 7 and <= 8, products <= 56, row sums <= K*56 < 2^24 — every step
+is exactly representable, so results are bit-identical to integer GEMM.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(v: int, m: int) -> int:
+    return ((v + m - 1) // m) * m
+
+
+# ---------------------------------------------------------------------------
+# Packing (host/jnp level)
+# ---------------------------------------------------------------------------
+
+def pack_w4_planar(wq) -> jax.Array:
+    """wq: int values in [-8, 7], shape (K, N) with N even ->
+    uint8 (K, N/2)."""
+    w = jnp.asarray(wq, jnp.int8)
+    u = jnp.where(w < 0, w + 16, w).astype(jnp.uint8)
+    n = u.shape[-1]
+    lo = u[..., : n // 2]
+    hi = u[..., n // 2:]
+    return (lo | (hi << 4)).astype(jnp.uint8)
+
+
+def unpack_w4_planar(p) -> jax.Array:
+    """Inverse of pack_w4_planar; returns int8 (K, N)."""
+    lo = (p & 0x0F).astype(jnp.int8)
+    hi = ((p >> 4) & 0x0F).astype(jnp.int8)
+    lo = jnp.where(lo >= 8, lo - 16, lo)
+    hi = jnp.where(hi >= 8, hi - 16, hi)
+    return jnp.concatenate([lo, hi], axis=-1)
+
+
+def _unpack_block_bf16(wp):
+    """uint8 (BK, BN) -> two bf16 (BK, BN) nibble planes.
+
+    Nibble extraction runs in int32: Mosaic has no int8 vector shift
+    (arith.shrui on i8 fails to legalize), and i32 is the native VPU lane
+    width anyway."""
+    w = wp.astype(jnp.int32)
+    lo = w & 0x0F
+    hi = (w >> 4) & 0x0F
+    lo = jnp.where(lo >= 8, lo - 16, lo).astype(jnp.bfloat16)
+    hi = jnp.where(hi >= 8, hi - 16, hi).astype(jnp.bfloat16)
+    return lo, hi
+
+
+# ---------------------------------------------------------------------------
+# Weight-only W4 matmul: y = (x @ dequant(W)) ; scale per output column
+# ---------------------------------------------------------------------------
+
+def _w4_matmul_kernel(x_ref, wp_ref, scale_ref, out_ref, acc_ref, *,
+                      nsteps_k):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    x = x_ref[...]
+    lo, hi = _unpack_block_bf16(wp_ref[...])
+    acc_ref[:, 0, :] += jnp.dot(x, lo, preferred_element_type=jnp.float32)
+    acc_ref[:, 1, :] += jnp.dot(x, hi, preferred_element_type=jnp.float32)
+
+    @pl.when(k == nsteps_k - 1)
+    def _():
+        out_ref[...] = (acc_ref[...] * scale_ref[...].astype(jnp.float32)
+                        ).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_m", "block_n", "block_k",
+                                             "interpret"))
+def w4_matmul(x, w_packed, scale, *, block_m: int = 128, block_n: int = 256,
+              block_k: int = 512, interpret: bool = False):
+    """y = x @ dequant(W).  x: (M, K) bf16/f32; w_packed: uint8 (K, N/2)
+    planar; scale: (N,) f32 per-output-column (GPTQ per-channel).
+    Returns (M, N) in x.dtype."""
+    M, K = x.shape
+    Kw, Nh = w_packed.shape
+    assert K == Kw
+    N = Nh * 2
+
+    bm = min(block_m, _round_up(M, 16))  # sublane granularity for small M
+    bn = min(block_n, Nh)
+    bk = min(block_k, K)
+    pm, pn, pk = (-M) % bm, (-Nh) % bn, (-K) % bk
+    if pm or pk:
+        x = jnp.pad(x, ((0, pm), (0, pk)))
+    if pk or pn:
+        w_packed = jnp.pad(w_packed, ((0, pk), (0, pn)))
+    scale2 = scale.reshape(2, Nh)
+    if pn:
+        scale2 = jnp.pad(scale2, ((0, 0), (0, pn)))
+    Mp, Khp = x.shape[0], w_packed.shape[0]
+    Nhp = w_packed.shape[1]
+    nk = Khp // bk
+
+    grid = (Mp // bm, Nhp // bn, nk)
+    out3 = pl.pallas_call(
+        functools.partial(_w4_matmul_kernel, nsteps_k=nk),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda i, j, k: (i, k)),
+            pl.BlockSpec((bk, bn), lambda i, j, k: (k, j)),
+            pl.BlockSpec((2, bn), lambda i, j, k: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((bm, 2, bn), lambda i, j, k: (i, 0, j)),
+        out_shape=jax.ShapeDtypeStruct((Mp, 2, Nhp), x.dtype),
+        scratch_shapes=[pltpu.VMEM((bm, 2, bn), jnp.float32)],
+        interpret=interpret,
+    )(x, w_packed, scale2)
+    y = jnp.concatenate([out3[:, 0, :Nh], out3[:, 1, :Nh]], axis=-1)
+    return y[:M]
+
+
+def w4_matmul_reference(x, w_packed, scale):
+    """Pure-jnp oracle."""
+    wq = unpack_w4_planar(w_packed).astype(jnp.float32)
+    return (jnp.asarray(x, jnp.float32) @ wq * scale[None, :]).astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Joint W4A4: per-token sym-quantize x to int4 inside the kernel, int4xint4
+# matmul, dual-scale dequant epilogue (the quarot serving contract:
+# Quantizer -> Linear4bit -> sym_dequant; quarot/nn/linear.py:42-56).
+# ---------------------------------------------------------------------------
+
+def _w4a4_kernel(x_ref, xs_ref, wp_ref, scale_ref, out_ref, acc_ref, *,
+                 nsteps_k):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    # quantize this K-slab of x with the precomputed per-token scale
+    inv = 1.0 / xs_ref[...]                     # (bm, 1)
+    xq = jnp.clip(jnp.round(x_ref[...].astype(jnp.float32) * inv), -8, 7)
+    xq = xq.astype(jnp.bfloat16)
+    lo, hi = _unpack_block_bf16(wp_ref[...])
+    acc_ref[:, 0, :] += jnp.dot(xq, lo, preferred_element_type=jnp.float32)
+    acc_ref[:, 1, :] += jnp.dot(xq, hi, preferred_element_type=jnp.float32)
+
+    @pl.when(k == nsteps_k - 1)
+    def _():
+        deq = (acc_ref[...] * xs_ref[...][:, None, :]
+               * scale_ref[...].astype(jnp.float32))
+        out_ref[...] = deq.astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_m", "block_n", "block_k",
+                                             "clip_ratio", "interpret"))
+def w4a4_matmul(x, w_packed, scale, *, clip_ratio: float = 1.0,
+                block_m: int = 128, block_n: int = 256, block_k: int = 512,
+                interpret: bool = False):
+    """Per-token int4 activation quant + int4 weight matmul + dequant.
+
+    x: (M, K); w_packed: uint8 (K, N/2) planar; scale: (N,).
+    Activation scale = absmax/7 * clip_ratio per token (nn/quantization.py:4-13).
+    """
+    M, K = x.shape
+    Nh = w_packed.shape[1]
+    N = Nh * 2
+
+    # per-token scales need the full row: compute once outside the grid (one
+    # cheap VPU pass), pass into the kernel for quant + epilogue.
+    absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=1, keepdims=True)
+    xs = jnp.where(absmax == 0, 1.0, absmax * clip_ratio / 7.0)
+
+    bm = min(block_m, _round_up(M, 16))
+    bn = min(block_n, Nh)
+    bk = min(block_k, K)
+    pm, pn, pk = (-M) % bm, (-Nh) % bn, (-K) % bk
+    if pm or pk:
+        x = jnp.pad(x, ((0, pm), (0, pk)))
+    if pm:
+        xs = jnp.pad(xs, ((0, pm), (0, 0)), constant_values=1.0)
+    if pk or pn:
+        w_packed = jnp.pad(w_packed, ((0, pk), (0, pn)))
+    scale2 = scale.reshape(2, Nh)
+    if pn:
+        scale2 = jnp.pad(scale2, ((0, 0), (0, pn)))
+    Mp, Nhp, Kp = x.shape[0], w_packed.shape[1], x.shape[1]
+    nk = Kp // bk
+
+    grid = (Mp // bm, Nhp // bn, nk)
+    out3 = pl.pallas_call(
+        functools.partial(_w4a4_kernel, nsteps_k=nk),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda i, j, k: (i, k)),
+            pl.BlockSpec((bm, 1), lambda i, j, k: (i, 0)),
+            pl.BlockSpec((bk, bn), lambda i, j, k: (k, j)),
+            pl.BlockSpec((2, bn), lambda i, j, k: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((bm, 2, bn), lambda i, j, k: (i, 0, j)),
+        out_shape=jax.ShapeDtypeStruct((Mp, 2, Nhp), x.dtype),
+        scratch_shapes=[pltpu.VMEM((bm, 2, bn), jnp.float32)],
+        interpret=interpret,
+    )(x, xs, w_packed, scale2)
+    y = jnp.concatenate([out3[:, 0, :Nh], out3[:, 1, :Nh]], axis=-1)
+    return y[:M]
+
+
+def w4a4_matmul_reference(x, w_packed, scale, clip_ratio: float = 1.0):
+    """Pure-jnp oracle: quantize per token, int matmul, dual-scale dequant."""
+    xf = jnp.asarray(x, jnp.float32)
+    absmax = jnp.max(jnp.abs(xf), axis=1, keepdims=True)
+    xs = jnp.where(absmax == 0, 1.0, absmax * clip_ratio / 7.0)
+    xq = jnp.clip(jnp.round(xf / xs), -8, 7)
+    wq = unpack_w4_planar(w_packed).astype(jnp.float32)
+    acc = xq @ wq
+    return (acc * xs * scale[None, :]).astype(x.dtype)
