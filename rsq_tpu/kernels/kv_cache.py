@@ -1,0 +1,231 @@
+"""Fused INT4 KV-cache decode attention (Pallas).
+
+TPU counterpart of the reference's FlashInfer-derived CUDA stack
+(quarot/kernels/include/flashinfer/decode.cuh:492 `BatchDecodeWithPagedKVCache`,
+page.cuh append/init kernels, launchers flashinfer.cu:9-224): one kernel per
+decode step performs INT4 dequantization of the KV cache, online-softmax
+attention, and GQA head grouping, so the cache is read once at 4
+bits/element.
+
+Performance-critical layout decisions (v5e):
+- The cache is stored SEQUENCE-IN-LANES:  (B, Hkv, D/2, S) uint8, params
+  (B, Hkv, 2, S) f32.  The long S axis maps to the 128-lane dimension and
+  D/2 = 64 to sublanes, so every DMA tile is full-width (a (chunk, D/2)
+  token-major layout wastes half of each 128-lane int8 tile).
+- Zero materialized dequantization: with k_dj = u_dj*s_j - z_j,
+      logits_gj = s_j * (q @ u)_gj - z_j * (sum_d q_gd)
+      out_gd    = ((p * s_v) @ u_v^T)_gd - sum_j p_gj z_vj
+  so the u nibbles go straight into the MXU as bf16 (exact: u <= 15) and the
+  scales/zeros fold into rank-1 epilogues.
+- Nibble planes (low = d < D/2, high = d >= D/2) are consumed by separate
+  dots — no lane interleave or concat anywhere.
+
+The reference restricts batches to equal page counts anyway
+(kv_cache.py:265-267), so contiguous per-sequence storage is functionally
+equivalent to its page table while keeping all indexing static under jit;
+appends are dynamic_update_slice, no scatter kernels needed.
+
+K is Hadamard-rotated per head before quantization and q is rotated at
+decode (the within-head H cancels in q.k — kv_cache.py:30-33,111-127).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+MASK_VALUE = -1e30
+
+
+# ---------------------------------------------------------------------------
+# Quantize / pack (jnp; used by append paths)
+# ---------------------------------------------------------------------------
+
+def asym_quant_pack_head(x):
+    """x: (..., D) -> (packed uint8 (..., D/2), params (..., 2) f32).
+
+    Per-(token, head) asymmetric int4 over the head_dim axis, the reference's
+    `asym_quantize_and_pack_i4` (kv_cache.py:10-22) with planar nibble
+    packing (low nibble = first half of D)."""
+    xf = x.astype(jnp.float32)
+    xmax = jnp.max(xf, axis=-1, keepdims=True)
+    xmin = jnp.min(xf, axis=-1, keepdims=True)
+    scale = jnp.clip(xmax - xmin, min=1e-5) / 15.0
+    zero = -xmin
+    u = jnp.clip(jnp.round((xf + zero) / scale), 0, 15).astype(jnp.uint8)
+    d = u.shape[-1]
+    packed = (u[..., : d // 2] | (u[..., d // 2:] << 4)).astype(jnp.uint8)
+    params = jnp.concatenate([scale, zero], axis=-1)
+    return packed, params
+
+
+def unpack_dequant_head(packed, params):
+    """Inverse of asym_quant_pack_head -> f32 (..., D)."""
+    lo = (packed & 0x0F).astype(jnp.float32)
+    hi = ((packed >> 4) & 0x0F).astype(jnp.float32)
+    u = jnp.concatenate([lo, hi], axis=-1)
+    scale = params[..., 0:1]
+    zero = params[..., 1:2]
+    return u * scale - zero
+
+
+def to_lane_major(packed, params):
+    """(B, H, S, D/2)+(B, H, S, 2) -> (B, H, D/2, S)+(B, H, 2, S), the
+    kernel's storage layout."""
+    return (jnp.swapaxes(packed, -1, -2), jnp.swapaxes(params, -1, -2))
+
+
+# ---------------------------------------------------------------------------
+# Decode kernel
+# ---------------------------------------------------------------------------
+
+def _decode_kernel(len_ref, q_ref, kq_ref, kp_ref, vq_ref, vp_ref, out_ref,
+                   m_ref, l_ref, acc_ref, *, chunk, nchunks):
+    s = pl.program_id(2)
+
+    @pl.when(s == 0)
+    def _():
+        m_ref[...] = jnp.full_like(m_ref, -jnp.inf)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    length = len_ref[pl.program_id(0)]
+    base = s * chunk
+
+    @pl.when(base < length)
+    def _():
+        q = q_ref[0, 0].astype(jnp.float32)           # (Gp, D)
+        dh = q.shape[-1] // 2
+        q_lo = q[:, :dh].astype(jnp.bfloat16)
+        q_hi = q[:, dh:].astype(jnp.bfloat16)
+        qsum = jnp.sum(q, axis=1, keepdims=True)      # (Gp, 1)
+
+        ku = kq_ref[0, 0].astype(jnp.int32)           # (D/2, chunk)
+        k_lo = (ku & 0x0F).astype(jnp.bfloat16)
+        k_hi = ((ku >> 4) & 0x0F).astype(jnp.bfloat16)
+        ks = kp_ref[0, 0, 0, :].astype(jnp.float32)   # (chunk,)
+        kz = kp_ref[0, 0, 1, :].astype(jnp.float32)
+
+        raw = (jnp.dot(q_lo, k_lo, preferred_element_type=jnp.float32)
+               + jnp.dot(q_hi, k_hi, preferred_element_type=jnp.float32))
+        logits = raw * ks[None, :] - qsum * kz[None, :]
+
+        pos = base + jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+        logits = jnp.where(pos < length, logits, MASK_VALUE)
+
+        m_prev = m_ref[...][:, 0:1]                   # (Gp, 1)
+        m_cur = jnp.max(logits, axis=1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(logits - m_new)                   # (Gp, chunk) f32
+        l_new = alpha * l_ref[...][:, 0:1] + jnp.sum(p, axis=1, keepdims=True)
+
+        vu = vq_ref[0, 0].astype(jnp.int32)           # (D/2, chunk)
+        v_lo = (vu & 0x0F).astype(jnp.bfloat16)
+        v_hi = ((vu >> 4) & 0x0F).astype(jnp.bfloat16)
+        vs = vp_ref[0, 0, 0, :].astype(jnp.float32)
+        vz = vp_ref[0, 0, 1, :].astype(jnp.float32)
+
+        ps = (p * vs[None, :]).astype(jnp.bfloat16)   # fold v scale into p
+        pz = jnp.sum(p * vz[None, :], axis=1, keepdims=True)  # (Gp, 1)
+        t_lo = jax.lax.dot_general(
+            ps, v_lo, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)       # (Gp, D/2)
+        t_hi = jax.lax.dot_general(
+            ps, v_hi, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+        acc_ref[:, :dh] = acc_ref[:, :dh] * alpha + t_lo - pz
+        acc_ref[:, dh:] = acc_ref[:, dh:] * alpha + t_hi - pz
+        m_ref[...] = jnp.broadcast_to(m_new, m_ref.shape)
+        l_ref[...] = jnp.broadcast_to(l_new, l_ref.shape)
+
+    @pl.when(s == nchunks - 1)
+    def _():
+        out_ref[0, 0] = (acc_ref[...] /
+                         l_ref[...][:, 0:1]).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("sm_scale", "chunk", "interpret"))
+def int4_decode_attention(q, kq, kp, vq, vp, lengths, *, sm_scale=None,
+                          chunk: int = 512, interpret: bool | None = None):
+    """One decode step of attention against the INT4 cache.
+
+    q: (B, Hq, D) — already within-head Hadamard-rotated to match K.
+    kq/vq: uint8 (B, Hkv, D/2, S) lane-major; kp/vp: f32 (B, Hkv, 2, S).
+    lengths: (B,) int32 valid token counts.
+    Returns (B, Hq, D) in q.dtype.
+    """
+    from rsq_tpu.kernels import default_interpret
+    interpret = default_interpret(interpret)
+    B, Hq, D = q.shape
+    _, Hkv, _, S = kq.shape
+    G = Hq // Hkv
+    Gp = max(8, G)  # sublane granularity
+    if sm_scale is None:
+        sm_scale = 1.0 / math.sqrt(D)
+
+    qg = (q.astype(jnp.float32) * sm_scale).reshape(B, Hkv, G, D)
+    if Gp != G:
+        qg = jnp.pad(qg, ((0, 0), (0, 0), (0, Gp - G), (0, 0)))
+
+    ch = min(chunk, S)
+    pad_s = (-S) % ch
+    if pad_s:
+        cfg = ((0, 0), (0, 0), (0, 0), (0, pad_s))
+        kq = jnp.pad(kq, cfg)
+        vq = jnp.pad(vq, cfg)
+        kp = jnp.pad(kp, cfg, constant_values=1.0)
+        vp = jnp.pad(vp, cfg, constant_values=1.0)
+    Sp = S + pad_s
+    nchunks = Sp // ch
+
+    grid = (B, Hkv, nchunks)
+    out = pl.pallas_call(
+        functools.partial(_decode_kernel, chunk=ch, nchunks=nchunks),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((B,), lambda b, h, s: (0,),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, Gp, D), lambda b, h, s: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, D // 2, ch), lambda b, h, s: (b, h, 0, s)),
+            pl.BlockSpec((1, 1, 2, ch), lambda b, h, s: (b, h, 0, s)),
+            pl.BlockSpec((1, 1, D // 2, ch), lambda b, h, s: (b, h, 0, s)),
+            pl.BlockSpec((1, 1, 2, ch), lambda b, h, s: (b, h, 0, s)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, Gp, D), lambda b, h, s: (b, h, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, Hkv, Gp, D), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((Gp, 128), jnp.float32),
+            pltpu.VMEM((Gp, 128), jnp.float32),
+            pltpu.VMEM((Gp, D), jnp.float32),
+        ],
+        interpret=interpret,
+    )(lengths.astype(jnp.int32), qg, kq, kp, vq, vp)
+    return out[:, :, :G, :].reshape(B, Hq, D)
+
+
+def int4_decode_attention_reference(q, kq, kp, vq, vp, lengths, sm_scale=None):
+    """Pure-jnp oracle on the lane-major cache: dequantize everything,
+    masked softmax attention."""
+    B, Hq, D = q.shape
+    _, Hkv, _, S = kq.shape
+    G = Hq // Hkv
+    if sm_scale is None:
+        sm_scale = 1.0 / math.sqrt(D)
+    k = unpack_dequant_head(jnp.swapaxes(kq, -1, -2),
+                            jnp.swapaxes(kp, -1, -2))   # (B, Hkv, S, D)
+    v = unpack_dequant_head(jnp.swapaxes(vq, -1, -2),
+                            jnp.swapaxes(vp, -1, -2))
+    qg = q.astype(jnp.float32).reshape(B, Hkv, G, D)
+    logits = jnp.einsum("bhgd,bhsd->bhgs", qg, k) * sm_scale
+    mask = jnp.arange(S)[None, None, None, :] < lengths[:, None, None, None]
+    logits = jnp.where(mask, logits, MASK_VALUE)
+    p = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhgs,bhsd->bhgd", p, v)
+    return out.reshape(B, Hq, D).astype(q.dtype)

@@ -95,10 +95,12 @@ def _w4_matmul_kernel(x_ref, wp_ref, scale_ref, out_ref, acc_ref, *,
 @functools.partial(jax.jit, static_argnames=("block_m", "block_n", "block_k",
                                              "interpret"))
 def w4_matmul(x, w_packed, scale, *, block_m: int = 128, block_n: int = 256,
-              block_k: int = 512, interpret: bool = False):
+              block_k: int = 512, interpret: bool | None = None):
     """y = x @ dequant(W).  x: (M, K) bf16/f32; w_packed: uint8 (K, N/2)
     planar; scale: (N,) f32 per-output-column (GPTQ per-channel).
     Returns (M, N) in x.dtype."""
+    from rsq_tpu.kernels import default_interpret
+    interpret = default_interpret(interpret)
     M, K = x.shape
     Kw, Nh = w_packed.shape
     assert K == Kw
@@ -176,12 +178,14 @@ def _w4a4_kernel(x_ref, xs_ref, wp_ref, scale_ref, out_ref, acc_ref, *,
                                              "clip_ratio", "interpret"))
 def w4a4_matmul(x, w_packed, scale, *, clip_ratio: float = 1.0,
                 block_m: int = 128, block_n: int = 256, block_k: int = 512,
-                interpret: bool = False):
+                interpret: bool | None = None):
     """Per-token int4 activation quant + int4 weight matmul + dequant.
 
     x: (M, K); w_packed: uint8 (K, N/2) planar; scale: (N,).
     Activation scale = absmax/7 * clip_ratio per token (nn/quantization.py:4-13).
     """
+    from rsq_tpu.kernels import default_interpret
+    interpret = default_interpret(interpret)
     M, K = x.shape
     Nh = w_packed.shape[1]
     N = Nh * 2

@@ -1,0 +1,268 @@
+"""Quantized serving forward: prefill + INT4-KV decode.
+
+Counterpart of the reference's e2e stack (e2e/quantized_llama/
+modeling_llama.py + quarot/transformers/kv_cache.py), TPU-first:
+
+- every quantized linear is ONE fused Pallas call (activation quant +
+  int4 matmul + dequant), instead of the Quantizer/Linear4bit module pair
+  (modeling_llama.py:91-119);
+- the KV cache is a static-shape pytree; prefill computes fp attention on
+  the original k/v while writing the Hadamard-rotated INT4 cache
+  (kv_cache.py:188-240 contract), decode runs the fused
+  int4_decode_attention kernel;
+- the decode loop is a lax.scan — one compiled program per (batch, length)
+  shape, zero Python in the hot path.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from rsq_tpu.core.hadamard import hadamard_transform_last, head_mixing_hadamard
+from rsq_tpu.kernels import kv_cache as KVK
+from rsq_tpu.kernels.matmul_w4 import w4_matmul, w4a4_matmul
+from rsq_tpu.models import llama as M
+from rsq_tpu.models.config import ModelConfig
+
+
+@dataclasses.dataclass(frozen=True)
+class ServingConfig:
+    model: ModelConfig
+    a4: bool = True              # quantize activations into the matmul (W4A4)
+    kv_int4: bool = True         # INT4 KV cache (else bf16)
+    kv_hadamard: bool = True     # rotate K per head before caching
+    online_had: bool = True      # o_proj / down_proj online Hadamards
+    max_seq: int = 2048
+    a_clip: float = 1.0
+
+    @property
+    def cfg(self) -> ModelConfig:
+        return self.model
+
+
+# ---------------------------------------------------------------------------
+# Quantized linear dispatch
+# ---------------------------------------------------------------------------
+
+def serving_linear(x, p, sc: ServingConfig):
+    """x: (..., K). Dispatch dense / W4 / W4A4 on the param layout."""
+    lead = x.shape[:-1]
+    x2 = x.reshape(-1, x.shape[-1])
+    if "wp" in p:
+        if sc.a4:
+            y = w4a4_matmul(x2, p["wp"], p["scale"], clip_ratio=sc.a_clip)
+        else:
+            y = w4_matmul(x2, p["wp"], p["scale"])
+    else:
+        y = x2 @ p["w"].astype(x2.dtype)
+    if p.get("b") is not None:
+        y = y + p["b"].astype(y.dtype)
+    return y.reshape(*lead, y.shape[-1])
+
+
+# ---------------------------------------------------------------------------
+# KV cache
+# ---------------------------------------------------------------------------
+
+def init_cache(sc: ServingConfig, batch: int, dtype=jnp.bfloat16):
+    cfg = sc.cfg
+    L, H, D, S = cfg.num_layers, cfg.num_key_value_heads, cfg.head_dim_, sc.max_seq
+    if sc.kv_int4:
+        return {
+            "kq": jnp.zeros((L, batch, H, D // 2, S), jnp.uint8),
+            "kp": jnp.ones((L, batch, H, 2, S), jnp.float32),
+            "vq": jnp.zeros((L, batch, H, D // 2, S), jnp.uint8),
+            "vp": jnp.ones((L, batch, H, 2, S), jnp.float32),
+            "length": jnp.zeros((batch,), jnp.int32),
+        }
+    return {
+        "k": jnp.zeros((L, batch, H, S, D), dtype),
+        "v": jnp.zeros((L, batch, H, S, D), dtype),
+        "length": jnp.zeros((batch,), jnp.int32),
+    }
+
+
+def _write_prefill(cache, layer, k, v, sc: ServingConfig):
+    """k/v: (B, S_prompt, H, D) post-rope. Writes positions [0, S_prompt)."""
+    kbhsd = jnp.swapaxes(k, 1, 2)  # (B, H, S, D)
+    vbhsd = jnp.swapaxes(v, 1, 2)
+    if not sc.kv_int4:
+        S = kbhsd.shape[2]
+        cache["k"] = cache["k"].at[layer, :, :, :S].set(kbhsd.astype(cache["k"].dtype))
+        cache["v"] = cache["v"].at[layer, :, :, :S].set(vbhsd.astype(cache["v"].dtype))
+        return cache
+    if sc.kv_hadamard:
+        kbhsd = hadamard_transform_last(kbhsd)
+    kq, kp = KVK.to_lane_major(*KVK.asym_quant_pack_head(kbhsd))
+    vq, vp = KVK.to_lane_major(*KVK.asym_quant_pack_head(vbhsd))
+    S = kq.shape[-1]
+    cache["kq"] = cache["kq"].at[layer, :, :, :, :S].set(kq)
+    cache["kp"] = cache["kp"].at[layer, :, :, :, :S].set(kp)
+    cache["vq"] = cache["vq"].at[layer, :, :, :, :S].set(vq)
+    cache["vp"] = cache["vp"].at[layer, :, :, :, :S].set(vp)
+    return cache
+
+
+def _append_decode(cache, layer, k, v, pos, sc: ServingConfig):
+    """k/v: (B, 1, H, D) one new token at position pos (scalar)."""
+    kb = jnp.swapaxes(k, 1, 2)  # (B, H, 1, D)
+    vb = jnp.swapaxes(v, 1, 2)
+    pos = pos.astype(jnp.int32)
+    li = jnp.int32(layer)
+    z = jnp.int32(0)
+    if not sc.kv_int4:
+        cache["k"] = jax.lax.dynamic_update_slice(
+            cache["k"], kb.astype(cache["k"].dtype)[None],
+            (li, z, z, pos, z))
+        cache["v"] = jax.lax.dynamic_update_slice(
+            cache["v"], vb.astype(cache["v"].dtype)[None], (li, z, z, pos, z))
+        return cache
+    if sc.kv_hadamard:
+        kb = hadamard_transform_last(kb)
+    kq, kp = KVK.to_lane_major(*KVK.asym_quant_pack_head(kb))  # (B,H,D/2,1)
+    vq, vp = KVK.to_lane_major(*KVK.asym_quant_pack_head(vb))
+    for name, val in (("kq", kq), ("kp", kp), ("vq", vq), ("vp", vp)):
+        cache[name] = jax.lax.dynamic_update_slice(
+            cache[name], val[None].astype(cache[name].dtype),
+            (li, z, z, z, pos))
+    return cache
+
+
+# ---------------------------------------------------------------------------
+# Layer forwards
+# ---------------------------------------------------------------------------
+
+def _qkv(lp, h, cfg: ModelConfig, sc: ServingConfig):
+    b, s, _ = h.shape
+    hd, nq, nkv = cfg.head_dim_, cfg.num_attention_heads, cfg.num_key_value_heads
+    q = serving_linear(h, lp["q"], sc).reshape(b, s, nq, hd)
+    k = serving_linear(h, lp["k"], sc).reshape(b, s, nkv, hd)
+    v = serving_linear(h, lp["v"], sc).reshape(b, s, nkv, hd)
+    return q, k, v
+
+
+def _mlp(lp, h, cfg: ModelConfig, sc: ServingConfig):
+    up = serving_linear(h, lp["up"], sc)
+    gate = serving_linear(h, lp["gate"], sc)
+    act = jax.nn.silu(gate.astype(jnp.float32)).astype(h.dtype) * up
+    if sc.online_had:
+        from rsq_tpu.kernels.hadamard_mxu import hadamard_transform
+        act = hadamard_transform(act)
+    return serving_linear(act, lp["down"], sc)
+
+
+def _attn_out(lp, attn_flat, cfg: ModelConfig, sc: ServingConfig):
+    if sc.online_had:
+        attn_flat = head_mixing_hadamard(attn_flat, head_dim=cfg.head_dim_)
+    return serving_linear(attn_flat, lp["o"], sc)
+
+
+def prefill_layer(lp, x, cache, layer, cos, sin, mask, cfg, sc):
+    h = M.rms_norm(x, lp.get("input_norm"), cfg.rms_norm_eps)
+    q, k, v = _qkv(lp, h, cfg, sc)
+    q = M.apply_rope(q, cos, sin)
+    k = M.apply_rope(k, cos, sin)
+    cache = _write_prefill(cache, layer, k, v, sc)
+    nrep = cfg.num_attention_heads // cfg.num_key_value_heads
+    attn = M.attention(q, M.repeat_kv(k, nrep), M.repeat_kv(v, nrep), mask)
+    b, s = x.shape[:2]
+    attn = attn.reshape(b, s, -1)
+    x = x + _attn_out(lp, attn, cfg, sc)
+    h2 = M.rms_norm(x, lp.get("post_norm"), cfg.rms_norm_eps)
+    return x + _mlp(lp, h2, cfg, sc), cache
+
+
+def decode_layer(lp, x, cache, layer, cos, sin, pos, cfg, sc):
+    """x: (B, 1, d); pos: scalar current position."""
+    b = x.shape[0]
+    h = M.rms_norm(x, lp.get("input_norm"), cfg.rms_norm_eps)
+    q, k, v = _qkv(lp, h, cfg, sc)
+    q = M.apply_rope(q, cos, sin)
+    k = M.apply_rope(k, cos, sin)
+    cache = _append_decode(cache, layer, k, v, pos, sc)
+    lengths = cache["length"] + 1
+    hd = cfg.head_dim_
+    if sc.kv_int4:
+        qh = q.reshape(b, -1, hd)
+        if sc.kv_hadamard:
+            qh = hadamard_transform_last(qh)
+        attn = KVK.int4_decode_attention(
+            qh, cache["kq"][layer], cache["kp"][layer],
+            cache["vq"][layer], cache["vp"][layer], lengths)
+    else:
+        S = cache["k"].shape[3]
+        nrep = cfg.num_attention_heads // cfg.num_key_value_heads
+        kf = jnp.repeat(cache["k"][layer], nrep, axis=1)  # (B, Hq, S, D)
+        vf = jnp.repeat(cache["v"][layer], nrep, axis=1)
+        qg = q.reshape(b, -1, hd).astype(jnp.float32)
+        logits = jnp.einsum("bhd,bhsd->bhs", qg, kf.astype(jnp.float32))
+        logits = logits / jnp.sqrt(jnp.asarray(hd, jnp.float32))
+        valid = jnp.arange(S)[None, None, :] < lengths[:, None, None]
+        logits = jnp.where(valid, logits, -1e30)
+        p = jax.nn.softmax(logits, axis=-1)
+        attn = jnp.einsum("bhs,bhsd->bhd", p, vf.astype(jnp.float32))
+        attn = attn.astype(x.dtype)
+    attn = attn.reshape(b, 1, -1)
+    x = x + _attn_out(lp, attn, cfg, sc)
+    h2 = M.rms_norm(x, lp.get("post_norm"), cfg.rms_norm_eps)
+    return x + _mlp(lp, h2, cfg, sc), cache
+
+
+# ---------------------------------------------------------------------------
+# Full model entry points
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("sc",))
+def prefill(params, cache, input_ids, sc: ServingConfig):
+    """Prompt pass. Returns (last-position logits, cache)."""
+    cfg = sc.cfg
+    b, s = input_ids.shape
+    x = params["embed"][input_ids].astype(jnp.bfloat16)
+    cos, sin = M.rope_tables(cfg, jnp.arange(s))
+    mask = M.causal_mask(s)
+    for i, lp in enumerate(params["layers"]):
+        x, cache = prefill_layer(lp, x, cache, i, cos, sin, mask, cfg, sc)
+    cache["length"] = cache["length"] + s
+    x = M.rms_norm(x[:, -1:], params.get("final_norm"), cfg.rms_norm_eps)
+    logits = x @ params["lm_head"].astype(x.dtype)
+    return logits[:, 0], cache
+
+
+@partial(jax.jit, static_argnames=("sc",))
+def decode_step(params, cache, token_ids, sc: ServingConfig):
+    """One token per sequence. token_ids: (B,). Returns (logits, cache)."""
+    cfg = sc.cfg
+    pos = cache["length"][0]  # equal lengths across batch (reference too)
+    x = params["embed"][token_ids][:, None, :].astype(jnp.bfloat16)
+    cos, sin = M.rope_tables(cfg, pos[None])
+    for i, lp in enumerate(params["layers"]):
+        x, cache = decode_layer(lp, x, cache, i, cos, sin, pos, cfg, sc)
+    cache["length"] = cache["length"] + 1
+    x = M.rms_norm(x, params.get("final_norm"), cfg.rms_norm_eps)
+    logits = (x @ params["lm_head"].astype(x.dtype))[:, 0]
+    return logits, cache
+
+
+def generate(params, input_ids, sc: ServingConfig, max_new_tokens: int):
+    """Greedy generation; decode loop is a lax.scan (one XLA program)."""
+    cache = init_cache(sc, input_ids.shape[0])
+    logits, cache = prefill(params, cache, input_ids, sc)
+    first = jnp.argmax(logits, axis=-1)
+
+    @partial(jax.jit, static_argnames=())
+    def run(params, cache, first):
+        def step(carry, _):
+            cache, tok = carry
+            logits, cache = decode_step(params, cache, tok, sc)
+            nxt = jnp.argmax(logits, axis=-1)
+            return (cache, nxt), nxt
+        (cache, _), toks = jax.lax.scan(
+            step, (cache, first), None, length=max_new_tokens - 1)
+        return cache, toks
+
+    cache, toks = run(params, cache, first)
+    return jnp.concatenate([first[None], toks], axis=0).T  # (B, new_tokens)

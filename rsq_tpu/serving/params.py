@@ -1,0 +1,70 @@
+"""Serving parameter conversion: fake-quant pytree -> packed INT4 pytree.
+
+Counterpart of the reference's checkpoint converter
+(e2e/checkpoint_utils/quantize_llama_checkpoint.py:28-56: re-quantize to
+codes, pack, store per-row scales).  Here the fake-quant weights already ARE
+scale * code, so the conversion code = round(W / scale) is bit-exact — the
+same invariant the reference asserts (gptq_utils.py:622-625).
+
+Serving linear params: {"wp": uint8 (K, N/2) planar, "scale": f32 (N,),
+"b": (N,)|None}.  Unquantized tensors (embeddings, lm_head, any 16-bit
+layers) stay dense bf16.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from rsq_tpu.kernels.matmul_w4 import pack_w4_planar, unpack_w4_planar
+from rsq_tpu.models.config import ModelConfig
+
+QUANT_NAMES = ("q", "k", "v", "o", "up", "gate", "down")
+
+
+def pack_linear(p, scale_rows):
+    """p: {"w": (K, N), "b"} fake-quant dequantized weights; scale_rows:
+    (N,) or (N, 1) per-output-channel scale (GPTQ layout rows=out)."""
+    scale = jnp.asarray(scale_rows, jnp.float32).reshape(-1)
+    W = jnp.asarray(p["w"], jnp.float32)
+    codes = jnp.clip(jnp.round(W / scale[None, :]), -8, 7).astype(jnp.int8)
+    return {
+        "wp": pack_w4_planar(codes),
+        "scale": scale,
+        "b": None if p.get("b") is None else jnp.asarray(p["b"], jnp.bfloat16),
+    }
+
+
+def unpack_linear(sp):
+    """Serving params -> dense dequantized weights (test oracle)."""
+    codes = unpack_w4_planar(sp["wp"]).astype(jnp.float32)
+    return codes * sp["scale"][None, :]
+
+
+def to_serving_params(params, quantizers, cfg: ModelConfig,
+                      dtype=jnp.bfloat16):
+    """Convert a quantized fake-quant model pytree + quantizer info from
+    quantize_model into the packed serving pytree. Layers/tensors without
+    4-bit quantizer info stay dense."""
+    out = {
+        "embed": jnp.asarray(params["embed"], dtype),
+        "final_norm": (None if params["final_norm"] is None
+                       else jnp.asarray(params["final_norm"], dtype)),
+        "lm_head": jnp.asarray(params["lm_head"], dtype),
+        "layers": [],
+    }
+    for i, lp in enumerate(params["layers"]):
+        slp = {}
+        for name in ("input_norm", "post_norm"):
+            slp[name] = (None if lp.get(name) is None
+                         else jnp.asarray(lp[name], dtype))
+        for name in QUANT_NAMES:
+            qinfo = quantizers.get(f"layers.{i}.{name}")
+            if qinfo is not None and qinfo["bits"] == 4:
+                slp[name] = pack_linear(lp[name], qinfo["scale"])
+            else:
+                slp[name] = {"w": jnp.asarray(lp[name]["w"], dtype),
+                             "b": None if lp[name].get("b") is None
+                             else jnp.asarray(lp[name]["b"], dtype)}
+        out["layers"].append(slp)
+    return out

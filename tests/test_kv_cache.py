@@ -1,0 +1,91 @@
+"""INT4 KV-cache decode kernel vs pure-jnp oracle (f16-twin pattern)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rsq_tpu.kernels import kv_cache as KV
+
+
+def _mk_cache(B, Hkv, S, D, seed=0):
+    rng = np.random.default_rng(seed)
+    k = rng.standard_normal((B, Hkv, S, D)).astype(np.float32)
+    v = rng.standard_normal((B, Hkv, S, D)).astype(np.float32)
+    kq, kp = KV.to_lane_major(*KV.asym_quant_pack_head(jnp.asarray(k)))
+    vq, vp = KV.to_lane_major(*KV.asym_quant_pack_head(jnp.asarray(v)))
+    return k, v, kq, kp, vq, vp
+
+
+def test_quant_pack_roundtrip_error():
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((4, 2, 16, 32)).astype(np.float32))
+    packed, params = KV.asym_quant_pack_head(x)
+    back = KV.unpack_dequant_head(packed, params)
+    # max error = half LSB of per-(token,head) scale
+    err = jnp.abs(back - x)
+    scale = params[..., 0:1]
+    assert float(jnp.max(err / scale)) <= 0.5 + 1e-3
+
+
+@pytest.mark.parametrize("B,Hq,Hkv,S,D,chunk", [
+    (2, 4, 2, 64, 32, 16),     # GQA x2
+    (1, 8, 8, 32, 64, 16),     # MHA
+    (3, 8, 1, 48, 32, 16),     # MQA
+])
+def test_decode_matches_oracle(B, Hq, Hkv, S, D, chunk):
+    rng = np.random.default_rng(2)
+    _, _, kq, kp, vq, vp = _mk_cache(B, Hkv, S, D)
+    q = jnp.asarray(rng.standard_normal((B, Hq, D)).astype(np.float32))
+    lengths = jnp.asarray(rng.integers(1, S + 1, size=(B,)), jnp.int32)
+    got = KV.int4_decode_attention(q, kq, kp, vq, vp, lengths, chunk=chunk,
+                                   interpret=True)
+    want = KV.int4_decode_attention_reference(q, kq, kp, vq, vp, lengths)
+    # kernel uses bf16 MXU feeds (intended; ~0.4% rounding, far below the
+    # int4 cache quantization noise) — tolerance reflects that
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-2, atol=1e-2)
+
+
+def test_decode_respects_lengths():
+    """Tokens beyond `length` must not influence the output."""
+    B, Hq, Hkv, S, D = 1, 2, 2, 32, 32
+    rng = np.random.default_rng(3)
+    k = rng.standard_normal((B, Hkv, S, D)).astype(np.float32)
+    v = rng.standard_normal((B, Hkv, S, D)).astype(np.float32)
+    q = jnp.asarray(rng.standard_normal((B, Hq, D)).astype(np.float32))
+
+    # poison the tail
+    k2 = k.copy(); k2[:, :, 10:] = 1e3
+    v2 = v.copy(); v2[:, :, 10:] = -1e3
+
+    outs = []
+    for kk, vv in [(k, v), (k2, v2)]:
+        kq, kp = KV.to_lane_major(*KV.asym_quant_pack_head(jnp.asarray(kk)))
+        vq, vp = KV.to_lane_major(*KV.asym_quant_pack_head(jnp.asarray(vv)))
+        outs.append(np.asarray(KV.int4_decode_attention(
+            q, kq, kp, vq, vp, jnp.asarray([10], jnp.int32), chunk=16,
+            interpret=True)))
+    np.testing.assert_allclose(outs[0], outs[1], rtol=1e-5, atol=1e-5)
+
+
+def test_decode_vs_fp_attention_quality():
+    """INT4 cache attention must stay close to FP attention (quantization
+    noise only)."""
+    B, Hq, Hkv, S, D = 2, 4, 2, 64, 64
+    rng = np.random.default_rng(4)
+    k, v, kq, kp, vq, vp = _mk_cache(B, Hkv, S, D, seed=5)
+    q = jnp.asarray(rng.standard_normal((B, Hq, D)).astype(np.float32))
+    lengths = jnp.asarray([64, 40], jnp.int32)
+    got = np.asarray(KV.int4_decode_attention(q, kq, kp, vq, vp, lengths,
+                                              chunk=32, interpret=True))
+    # fp oracle on the unquantized cache
+    import math
+    qg = np.asarray(q).reshape(B, Hkv, 2, D)
+    logits = np.einsum("bhgd,bhsd->bhgs", qg, k) / math.sqrt(D)
+    mask = np.arange(S)[None, None, None, :] < np.asarray(lengths)[:, None, None, None]
+    logits = np.where(mask, logits, -1e30)
+    p = np.exp(logits - logits.max(-1, keepdims=True))
+    p /= p.sum(-1, keepdims=True)
+    want = np.einsum("bhgs,bhsd->bhgd", p, v).reshape(B, Hq, D)
+    np.testing.assert_allclose(got, want, rtol=0.15, atol=0.15)
+    assert np.abs(got - want).mean() < 0.05

@@ -1,0 +1,118 @@
+"""Serving engine tests: dense serving path == fake-quant model forward;
+quantized paths stay within quantization noise; prefill/decode consistency."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rsq_tpu.core.quant import WeightQuantConfig
+from rsq_tpu.models import llama as M
+from rsq_tpu.models.config import ModelConfig
+from rsq_tpu.models.policy import FP16
+from rsq_tpu.quantize import data as D
+from rsq_tpu.quantize.pipeline import RSQConfig, quantize_model
+from rsq_tpu.serving import model as S
+from rsq_tpu.serving.params import to_serving_params, pack_linear, unpack_linear
+
+
+@pytest.fixture(scope="module")
+def quantized_tiny():
+    cfg = ModelConfig.tiny(num_layers=2, intermediate_size=128)
+    params = M.init_params(cfg, jax.random.PRNGKey(0), scale=0.05)
+    calib = D.get_loaders("synthetic", nsamples=4, seqlen=32,
+                          vocab_size=cfg.vocab_size)
+    rsq = RSQConfig(w=WeightQuantConfig(bits=4, sym=True), nsamples=4)
+    qparams, quantizers = quantize_model(params, cfg, rsq, calib)
+    sparams = to_serving_params(qparams, quantizers, cfg)
+    return cfg, params, qparams, quantizers, sparams
+
+
+def test_pack_linear_bit_exact(quantized_tiny):
+    """Packed codes * scale must reproduce the fake-quant weights exactly
+    (the reference's equivalence assert, gptq_utils.py:622-625)."""
+    cfg, _, qparams, quantizers, _ = quantized_tiny
+    lp = qparams["layers"][0]["q"]
+    sp = pack_linear(lp, quantizers["layers.0.q"]["scale"])
+    np.testing.assert_allclose(np.asarray(unpack_linear(sp)),
+                               np.asarray(lp["w"], dtype=np.float32),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_dense_serving_matches_fake_quant_forward(quantized_tiny):
+    """Serving prefill with dense weights + fp cache == model forward."""
+    cfg, params, qparams, quantizers, _ = quantized_tiny
+    # dense serving params: no quantizer info
+    sparams = to_serving_params(qparams, {}, cfg)
+    sc = S.ServingConfig(model=cfg, a4=False, kv_int4=False,
+                         kv_hadamard=False, online_had=False, max_seq=64)
+    ids = jnp.asarray(np.random.default_rng(0).integers(
+        0, cfg.vocab_size, (2, 16)))
+    cache = S.init_cache(sc, 2)
+    logits, cache = S.prefill(sparams, cache, ids, sc)
+    want = M.forward(qparams, ids, cfg, FP16)[:, -1]
+    np.testing.assert_allclose(np.asarray(logits, dtype=np.float32),
+                               np.asarray(want, dtype=np.float32),
+                               rtol=2e-2, atol=2e-2)
+    assert int(cache["length"][0]) == 16
+
+
+def test_decode_matches_incremental_forward(quantized_tiny):
+    """Dense-path decode steps produce the same logits as re-running the
+    full forward with the grown prompt."""
+    cfg, params, qparams, _, _ = quantized_tiny
+    sparams = to_serving_params(qparams, {}, cfg)
+    sc = S.ServingConfig(model=cfg, a4=False, kv_int4=False,
+                         kv_hadamard=False, online_had=False, max_seq=64)
+    rng = np.random.default_rng(1)
+    ids = rng.integers(0, cfg.vocab_size, (1, 8))
+    cache = S.init_cache(sc, 1)
+    logits, cache = S.prefill(sparams, jnp.asarray(cache) if False else cache,
+                              jnp.asarray(ids), sc)
+    toks = [int(jnp.argmax(logits[0]))]
+    for _ in range(3):
+        logits, cache = S.decode_step(sparams, cache,
+                                      jnp.asarray([toks[-1]]), sc)
+        toks.append(int(jnp.argmax(logits[0])))
+
+    # oracle: full forward over growing sequence
+    seq = list(ids[0])
+    want = []
+    for _ in range(4):
+        full = M.forward(qparams, jnp.asarray([seq]), cfg, FP16)
+        nxt = int(jnp.argmax(full[0, -1]))
+        want.append(nxt)
+        seq.append(nxt)
+    assert toks == want
+
+
+def test_int4_serving_close_to_fake_quant(quantized_tiny):
+    """W4(A4)KV4 serving logits track the fake-quant logits."""
+    cfg, params, qparams, quantizers, sparams = quantized_tiny
+    sc = S.ServingConfig(model=cfg, a4=True, kv_int4=True, kv_hadamard=True,
+                         online_had=False, max_seq=64)
+    ids = jnp.asarray(np.random.default_rng(2).integers(
+        0, cfg.vocab_size, (2, 12)))
+    cache = S.init_cache(sc, 2)
+    logits, cache = S.prefill(sparams, cache, ids, sc)
+    want = M.forward(qparams, ids, cfg, FP16)[:, -1]
+    # int4 activations + cache add noise, but ranking should mostly agree
+    corr = np.corrcoef(np.asarray(logits, np.float32).ravel(),
+                       np.asarray(want, np.float32).ravel())[0, 1]
+    assert corr > 0.98
+
+    # a decode step runs and returns finite logits
+    logits2, cache = S.decode_step(sparams, cache,
+                                   jnp.argmax(logits, axis=-1), sc)
+    assert np.isfinite(np.asarray(logits2, np.float32)).all()
+
+
+def test_generate_runs(quantized_tiny):
+    cfg, _, qparams, quantizers, sparams = quantized_tiny
+    sc = S.ServingConfig(model=cfg, a4=True, kv_int4=True, kv_hadamard=True,
+                         online_had=False, max_seq=64)
+    ids = jnp.asarray(np.random.default_rng(3).integers(
+        0, cfg.vocab_size, (2, 8)))
+    toks = S.generate(sparams, ids, sc, max_new_tokens=5)
+    assert toks.shape == (2, 5)
+    assert (np.asarray(toks) >= 0).all()
