@@ -43,11 +43,12 @@ def _split(n: int) -> tuple[int, int]:
 
 
 @functools.lru_cache(maxsize=None)
-def _factors(n: int, dtype_str: str = "float32"):
+def _factors_np(n: int):
+    """Cache host numpy factors only — caching jnp arrays would leak tracers
+    when the first call happens inside a jit/shard_map trace."""
     A, B = _split(n)
-    dt = jnp.dtype(dtype_str)
-    HA = jnp.asarray(hadamard_matrix(A), dtype=dt)
-    HB = jnp.asarray(hadamard_matrix(B), dtype=dt) if B > 1 else None
+    HA = hadamard_matrix(A).astype(np.float32)
+    HB = hadamard_matrix(B).astype(np.float32) if B > 1 else None
     return A, B, HA, HB
 
 
@@ -59,12 +60,14 @@ def hadamard_transform(x: jax.Array, dtype=None) -> jax.Array:
     """
     n = x.shape[-1]
     compute_dtype = dtype or (jnp.float32 if x.dtype != jnp.float64 else x.dtype)
-    A, B, HA, HB = _factors(n, np.dtype(compute_dtype).name)
+    A, B, HA_np, HB_np = _factors_np(n)
     orig_dtype = x.dtype
     xf = x.astype(compute_dtype).reshape(*x.shape[:-1], A, B)
     hp = jax.lax.Precision.HIGHEST
-    if HB is not None:
+    if HB_np is not None:
+        HB = jnp.asarray(HB_np, dtype=compute_dtype)
         xf = jnp.einsum("...ab,bc->...ac", xf, HB, precision=hp)
+    HA = jnp.asarray(HA_np, dtype=compute_dtype)
     xf = jnp.einsum("ka,...ab->...kb", HA, xf, precision=hp)
     out = xf.reshape(x.shape) / math.sqrt(n)
     return out.astype(orig_dtype)

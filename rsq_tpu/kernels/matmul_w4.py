@@ -35,24 +35,58 @@ def _round_up(v: int, m: int) -> int:
 # Packing (host/jnp level)
 # ---------------------------------------------------------------------------
 
+def pack_group(n: int) -> int:
+    """Planar pairing group. Each byte's two nibbles are outputs (2j, 2j+1):
+    adjacent pairing means any even tensor-parallel shard boundary keeps a
+    byte's outputs on one shard, and the (M, 2, N/2) -> (M, N) un-pairing is
+    a cheap XLA transpose on the OUTPUT — the kernel still never
+    interleaves lanes on the 4-bit weight data."""
+    return 2
+
+
 def pack_w4_planar(wq) -> jax.Array:
-    """wq: int values in [-8, 7], shape (K, N) with N even ->
-    uint8 (K, N/2)."""
+    """wq: int values in [-8, 7], shape (K, N) with N even -> uint8 (K, N/2).
+
+    Byte (k, g*P + j) holds outputs (k, g*2P + j) [low nibble] and
+    (k, g*2P + P + j) [high nibble], with P = group/2."""
     w = jnp.asarray(wq, jnp.int8)
     u = jnp.where(w < 0, w + 16, w).astype(jnp.uint8)
     n = u.shape[-1]
-    lo = u[..., : n // 2]
-    hi = u[..., n // 2:]
-    return (lo | (hi << 4)).astype(jnp.uint8)
+    g = pack_group(n)
+    ug = u.reshape(*u.shape[:-1], n // g, 2, g // 2)
+    lo = ug[..., 0, :]
+    hi = ug[..., 1, :]
+    return (lo | (hi << 4)).reshape(*u.shape[:-1], n // 2).astype(jnp.uint8)
 
 
 def unpack_w4_planar(p) -> jax.Array:
     """Inverse of pack_w4_planar; returns int8 (K, N)."""
-    lo = (p & 0x0F).astype(jnp.int8)
-    hi = ((p >> 4) & 0x0F).astype(jnp.int8)
+    n = p.shape[-1] * 2
+    g = pack_group(n)
+    pg = p.reshape(*p.shape[:-1], n // g, g // 2)
+    lo = (pg & 0x0F).astype(jnp.int8)
+    hi = ((pg >> 4) & 0x0F).astype(jnp.int8)
     lo = jnp.where(lo >= 8, lo - 16, lo)
     hi = jnp.where(hi >= 8, hi - 16, hi)
-    return jnp.concatenate([lo, hi], axis=-1)
+    out = jnp.stack([lo, hi], axis=-2)  # (..., n//g, 2, g//2)
+    return out.reshape(*p.shape[:-1], n)
+
+
+def pair_scales(scale) -> jax.Array:
+    """(N,) per-output scales -> (2, N/2) aligned with the packed planes."""
+    n = scale.shape[-1]
+    g = pack_group(n)
+    s = scale.reshape(n // g, 2, g // 2)
+    return jnp.moveaxis(s, 1, 0).reshape(2, n // 2)
+
+
+def unpair_outputs(y3) -> jax.Array:
+    """(M, 2, N/2) plane-paired kernel output -> (M, N)."""
+    m = y3.shape[0]
+    n = y3.shape[-1] * 2
+    g = pack_group(n)
+    y = y3.reshape(m, 2, n // g, g // 2)
+    return jnp.moveaxis(y, 1, 2).reshape(m, n)
 
 
 def _unpack_block_bf16(wp):
@@ -114,7 +148,7 @@ def w4_matmul(x, w_packed, scale, *, block_m: int = 128, block_n: int = 256,
         x = jnp.pad(x, ((0, pm), (0, pk)))
     if pk or pn:
         w_packed = jnp.pad(w_packed, ((0, pk), (0, pn)))
-    scale2 = scale.reshape(2, Nh)
+    scale2 = pair_scales(scale)
     if pn:
         scale2 = jnp.pad(scale2, ((0, 0), (0, pn)))
     Mp, Khp = x.shape[0], w_packed.shape[0]
@@ -135,7 +169,7 @@ def w4_matmul(x, w_packed, scale, *, block_m: int = 128, block_n: int = 256,
         scratch_shapes=[pltpu.VMEM((bm, 2, bn), jnp.float32)],
         interpret=interpret,
     )(x, w_packed, scale2)
-    y = jnp.concatenate([out3[:, 0, :Nh], out3[:, 1, :Nh]], axis=-1)
+    y = unpair_outputs(out3[:, :, :Nh])
     return y[:M]
 
 
@@ -176,13 +210,16 @@ def _w4a4_kernel(x_ref, xs_ref, wp_ref, scale_ref, out_ref, acc_ref, *,
 
 @functools.partial(jax.jit, static_argnames=("block_m", "block_n", "block_k",
                                              "clip_ratio", "interpret"))
-def w4a4_matmul(x, w_packed, scale, *, clip_ratio: float = 1.0,
+def w4a4_matmul(x, w_packed, scale, token_scale=None, *,
+                clip_ratio: float = 1.0,
                 block_m: int = 128, block_n: int = 256, block_k: int = 512,
                 interpret: bool | None = None):
     """Per-token int4 activation quant + int4 weight matmul + dequant.
 
     x: (M, K); w_packed: uint8 (K, N/2) planar; scale: (N,).
-    Activation scale = absmax/7 * clip_ratio per token (nn/quantization.py:4-13).
+    Activation scale = absmax/7 * clip_ratio per token (nn/quantization.py:4-13),
+    or an explicit `token_scale` (M, 1) — used under tensor parallelism where
+    the per-token absmax must be a global (pmax) reduction over shards.
     """
     from rsq_tpu.kernels import default_interpret
     interpret = default_interpret(interpret)
@@ -190,10 +227,13 @@ def w4a4_matmul(x, w_packed, scale, *, clip_ratio: float = 1.0,
     Nh = w_packed.shape[1]
     N = Nh * 2
 
-    # per-token scales need the full row: compute once outside the grid (one
-    # cheap VPU pass), pass into the kernel for quant + epilogue.
-    absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=1, keepdims=True)
-    xs = jnp.where(absmax == 0, 1.0, absmax * clip_ratio / 7.0)
+    if token_scale is None:
+        # per-token scales need the full row: compute once outside the grid
+        # (one cheap VPU pass), pass into the kernel for quant + epilogue.
+        absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=1, keepdims=True)
+        xs = jnp.where(absmax == 0, 1.0, absmax * clip_ratio / 7.0)
+    else:
+        xs = token_scale.astype(jnp.float32).reshape(M, 1)
 
     bm = min(block_m, _round_up(M, 16))
     bn = min(block_n, Nh)
@@ -205,7 +245,7 @@ def w4a4_matmul(x, w_packed, scale, *, clip_ratio: float = 1.0,
         xs = jnp.pad(xs, ((0, pm), (0, 0)), constant_values=1.0)
     if pk or pn:
         w_packed = jnp.pad(w_packed, ((0, pk), (0, pn)))
-    scale2 = scale.reshape(2, Nh)
+    scale2 = pair_scales(scale)
     if pn:
         scale2 = jnp.pad(scale2, ((0, 0), (0, pn)))
     Mp, Nhp, Kp = x.shape[0], w_packed.shape[1], x.shape[1]
@@ -226,7 +266,7 @@ def w4a4_matmul(x, w_packed, scale, *, clip_ratio: float = 1.0,
         scratch_shapes=[pltpu.VMEM((bm, 2, bn), jnp.float32)],
         interpret=interpret,
     )(x, xs, w_packed, scale2)
-    y = jnp.concatenate([out3[:, 0, :Nh], out3[:, 1, :Nh]], axis=-1)
+    y = unpair_outputs(out3[:, :, :Nh])
     return y[:M]
 
 

@@ -1,0 +1,268 @@
+"""Tensor/data-parallel serving over a device mesh.
+
+The reference is single-GPU (SURVEY.md §2.4: no torch.distributed anywhere);
+this module is new capability designed for the north star: INT4 weights and
+the quantized KV cache tensor-sharded over the `tp` mesh axis, batch over
+`dp`, with XLA collectives over ICI.
+
+Sharding plan (per decoder layer, weights in (in, out) layout):
+  q/k/v/up/gate : output dim over tp  -> no comms (column parallel)
+  o/down        : input  dim over tp  -> one psum each (row parallel)
+  KV cache      : kv-head dim over tp, batch over dp -> attention is local
+  embed/norms/lm_head: replicated
+Online Hadamards mix across ALL heads / the whole intermediate dim, so under
+tp they run as all_gather -> transform -> local slice (cheap at decode:
+a few KB per step; a distributed butterfly is the planned optimization).
+
+Everything runs inside ONE shard_map per step so Pallas kernels see local
+shards and XLA overlaps the psums with subsequent compute.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from rsq_tpu.core.hadamard import hadamard_transform_last
+from rsq_tpu.kernels import kv_cache as KVK
+from rsq_tpu.models import llama as M
+from rsq_tpu.models.config import ModelConfig
+from rsq_tpu.serving.model import ServingConfig, serving_linear
+
+
+def make_mesh(n_devices: int | None = None, dp: int = 1) -> Mesh:
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    tp = n // dp
+    return Mesh(np.array(devs[:n]).reshape(dp, tp), ("dp", "tp"))
+
+
+# ---------------------------------------------------------------------------
+# Param / cache partition specs
+# ---------------------------------------------------------------------------
+
+def _linear_spec(kind: str):
+    """kind: col (out over tp) | row (in over tp) | rep."""
+    if kind == "col":
+        return {"wp": P(None, "tp"), "scale": P("tp"), "b": P("tp"),
+                "w": P(None, "tp")}
+    if kind == "row":
+        return {"wp": P("tp", None), "scale": P(), "b": P(),
+                "w": P("tp", None)}
+    return {"wp": P(), "scale": P(), "b": P(), "w": P()}
+
+
+_LAYER_KINDS = {"q": "col", "k": "col", "v": "col", "o": "row",
+                "up": "col", "gate": "col", "down": "row"}
+
+
+def serving_param_specs(params):
+    """PartitionSpec pytree matching a serving params pytree."""
+    def layer_spec(lp):
+        out = {}
+        for name, p in lp.items():
+            if name in _LAYER_KINDS:
+                spec = _linear_spec(_LAYER_KINDS[name])
+                out[name] = {k: (spec[k] if v is not None else None)
+                             for k, v in p.items()}
+            else:
+                out[name] = P() if p is not None else None
+        return out
+    return {
+        "embed": P(),
+        "final_norm": P() if params["final_norm"] is not None else None,
+        "lm_head": P(),
+        "layers": [layer_spec(lp) for lp in params["layers"]],
+    }
+
+
+def cache_specs(cache):
+    out = {}
+    for k, v in cache.items():
+        if k == "length":
+            out[k] = P("dp")
+        else:
+            out[k] = P(None, "dp", "tp", None, None)
+    return out
+
+
+def shard_params(params, mesh: Mesh):
+    specs = serving_param_specs(params)
+    return jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s))
+        if x is not None else None, params, specs,
+        is_leaf=lambda x: x is None)
+
+
+def shard_cache(cache, mesh: Mesh):
+    specs = cache_specs(cache)
+    return {k: jax.device_put(v, NamedSharding(mesh, specs[k]))
+            for k, v in cache.items()}
+
+
+# ---------------------------------------------------------------------------
+# shard_map-local layer steps
+# ---------------------------------------------------------------------------
+
+def _gathered_transform(x, transform, axis_name="tp"):
+    """all_gather the tp-sharded last dim, apply `transform`, return this
+    shard's slice (for global Hadamards over a sharded dim)."""
+    tp = jax.lax.axis_size(axis_name)
+    if tp == 1:
+        return transform(x)
+    full = jax.lax.all_gather(x, axis_name, axis=-1, tiled=True)
+    full = transform(full)
+    idx = jax.lax.axis_index(axis_name)
+    shard = full.shape[-1] // tp
+    return jax.lax.dynamic_slice_in_dim(full, idx * shard, shard, axis=-1)
+
+
+def _local_decode_layer(lp, x, cache, layer, cos, sin, pos, cfg: ModelConfig,
+                        sc: ServingConfig):
+    """Decode layer on LOCAL shards inside shard_map. x: (Bl, 1, d) replicated
+    across tp; q/k/v produce local heads; o/down psum."""
+    from rsq_tpu.serving.model import _append_decode
+    tp = jax.lax.axis_size("tp")
+    b = x.shape[0]
+    hd = cfg.head_dim_
+    nq_l = cfg.num_attention_heads // tp
+    nkv_l = cfg.num_key_value_heads // tp
+
+    h = M.rms_norm(x, lp.get("input_norm"), cfg.rms_norm_eps)
+    q = serving_linear(h, lp["q"], sc).reshape(b, 1, nq_l, hd)
+    k = serving_linear(h, lp["k"], sc).reshape(b, 1, nkv_l, hd)
+    v = serving_linear(h, lp["v"], sc).reshape(b, 1, nkv_l, hd)
+    q = M.apply_rope(q, cos, sin)
+    k = M.apply_rope(k, cos, sin)
+    cache = _append_decode(cache, layer, k, v, pos, sc)
+
+    lengths = cache["length"] + 1
+    qh = q.reshape(b, nq_l, hd)
+    if sc.kv_int4:
+        if sc.kv_hadamard:
+            qh = hadamard_transform_last(qh)
+        attn = KVK.int4_decode_attention(
+            qh, cache["kq"][layer], cache["kp"][layer],
+            cache["vq"][layer], cache["vp"][layer], lengths)
+    else:
+        S = cache["k"].shape[3]
+        nrep = nq_l // nkv_l
+        kf = jnp.repeat(cache["k"][layer], nrep, axis=1)
+        vf = jnp.repeat(cache["v"][layer], nrep, axis=1)
+        qg = qh.astype(jnp.float32)
+        logits = jnp.einsum("bhd,bhsd->bhs", qg, kf.astype(jnp.float32))
+        logits = logits / jnp.sqrt(jnp.asarray(hd, jnp.float32))
+        valid = jnp.arange(S)[None, None, :] < lengths[:, None, None]
+        logits = jnp.where(valid, logits, -1e30)
+        p = jax.nn.softmax(logits, axis=-1)
+        attn = jnp.einsum("bhs,bhsd->bhd", p, vf.astype(jnp.float32))
+        attn = attn.astype(x.dtype)
+    attn = attn.reshape(b, 1, nq_l * hd)
+
+    if sc.online_had:
+        from rsq_tpu.core.hadamard import head_mixing_hadamard
+        attn = _gathered_transform(
+            attn, lambda a: head_mixing_hadamard(a, head_dim=hd))
+    o = serving_linear(attn, lp["o"], sc, tp_axis="tp")
+    o = jax.lax.psum(o, "tp").astype(x.dtype)
+    x = x + o
+
+    h2 = M.rms_norm(x, lp.get("post_norm"), cfg.rms_norm_eps)
+    up = serving_linear(h2, lp["up"], sc)
+    gate = serving_linear(h2, lp["gate"], sc)
+    act = jax.nn.silu(gate.astype(jnp.float32)).astype(h2.dtype) * up
+    if sc.online_had:
+        from rsq_tpu.kernels.hadamard_mxu import hadamard_transform
+        act = _gathered_transform(act, hadamard_transform)
+    down = serving_linear(act, lp["down"], sc, tp_axis="tp")
+    down = jax.lax.psum(down, "tp").astype(x.dtype)
+    return x + down, cache
+
+
+def _local_prefill_layer(lp, x, cache, layer, cos, sin, mask,
+                         cfg: ModelConfig, sc: ServingConfig):
+    from rsq_tpu.serving.model import _write_prefill
+    tp = jax.lax.axis_size("tp")
+    b, s, _ = x.shape
+    hd = cfg.head_dim_
+    nq_l = cfg.num_attention_heads // tp
+    nkv_l = cfg.num_key_value_heads // tp
+
+    h = M.rms_norm(x, lp.get("input_norm"), cfg.rms_norm_eps)
+    q = serving_linear(h, lp["q"], sc).reshape(b, s, nq_l, hd)
+    k = serving_linear(h, lp["k"], sc).reshape(b, s, nkv_l, hd)
+    v = serving_linear(h, lp["v"], sc).reshape(b, s, nkv_l, hd)
+    q = M.apply_rope(q, cos, sin)
+    k = M.apply_rope(k, cos, sin)
+    cache = _write_prefill(cache, layer, k, v, sc)
+    attn = M.attention(q, M.repeat_kv(k, nq_l // nkv_l),
+                       M.repeat_kv(v, nq_l // nkv_l), mask)
+    attn = attn.reshape(b, s, nq_l * hd)
+    if sc.online_had:
+        from rsq_tpu.core.hadamard import head_mixing_hadamard
+        attn = _gathered_transform(
+            attn, lambda a: head_mixing_hadamard(a, head_dim=hd))
+    x = x + jax.lax.psum(serving_linear(attn, lp["o"], sc, tp_axis="tp"),
+                         "tp").astype(x.dtype)
+    h2 = M.rms_norm(x, lp.get("post_norm"), cfg.rms_norm_eps)
+    up = serving_linear(h2, lp["up"], sc)
+    gate = serving_linear(h2, lp["gate"], sc)
+    act = jax.nn.silu(gate.astype(jnp.float32)).astype(h2.dtype) * up
+    if sc.online_had:
+        from rsq_tpu.kernels.hadamard_mxu import hadamard_transform
+        act = _gathered_transform(act, hadamard_transform)
+    return x + jax.lax.psum(serving_linear(act, lp["down"], sc, tp_axis="tp"),
+                            "tp").astype(x.dtype), cache
+
+
+# ---------------------------------------------------------------------------
+# shard_map entry points
+# ---------------------------------------------------------------------------
+
+def _prefill_local(params, cache, input_ids, sc: ServingConfig):
+    cfg = sc.cfg
+    b, s = input_ids.shape
+    x = params["embed"][input_ids].astype(jnp.bfloat16)
+    cos, sin = M.rope_tables(cfg, jnp.arange(s))
+    mask = M.causal_mask(s)
+    for i, lp in enumerate(params["layers"]):
+        x, cache = _local_prefill_layer(lp, x, cache, i, cos, sin, mask, cfg, sc)
+    cache["length"] = cache["length"] + s
+    x = M.rms_norm(x[:, -1:], params.get("final_norm"), cfg.rms_norm_eps)
+    logits = (x @ params["lm_head"].astype(x.dtype))[:, 0]
+    return logits, cache
+
+
+def _decode_local(params, cache, token_ids, sc: ServingConfig):
+    cfg = sc.cfg
+    pos = cache["length"][0]
+    x = params["embed"][token_ids][:, None, :].astype(jnp.bfloat16)
+    cos, sin = M.rope_tables(cfg, pos[None])
+    for i, lp in enumerate(params["layers"]):
+        x, cache = _local_decode_layer(lp, x, cache, i, cos, sin, pos, cfg, sc)
+    cache["length"] = cache["length"] + 1
+    x = M.rms_norm(x, params.get("final_norm"), cfg.rms_norm_eps)
+    logits = (x @ params["lm_head"].astype(x.dtype))[:, 0]
+    return logits, cache
+
+
+def make_tp_step(params, cache, mesh: Mesh, sc: ServingConfig):
+    """Build jitted shard_map'd (prefill, decode) callables for this mesh."""
+    pspecs = serving_param_specs(params)
+    cspecs = cache_specs(cache)
+
+    prefill = jax.jit(jax.shard_map(
+        partial(_prefill_local, sc=sc), mesh=mesh,
+        in_specs=(pspecs, cspecs, P("dp", None)),
+        out_specs=(P("dp", None), cspecs),
+        check_vma=False))
+    decode = jax.jit(jax.shard_map(
+        partial(_decode_local, sc=sc), mesh=mesh,
+        in_specs=(pspecs, cspecs, P("dp")),
+        out_specs=(P("dp", None), cspecs),
+        check_vma=False))
+    return prefill, decode

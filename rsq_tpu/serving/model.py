@@ -48,15 +48,30 @@ class ServingConfig:
 # Quantized linear dispatch
 # ---------------------------------------------------------------------------
 
-def serving_linear(x, p, sc: ServingConfig):
-    """x: (..., K). Dispatch dense / W4 / W4A4 on the param layout."""
+def serving_linear(x, p, sc: ServingConfig, tp_axis: str | None = None):
+    """x: (..., K). Dispatch dense / W4 / W4A4 on the param layout.
+
+    tp_axis: set for row-parallel linears under shard_map — the per-token
+    activation scale must be the GLOBAL absmax, so reduce it with pmax
+    before quantizing the local shard."""
     lead = x.shape[:-1]
     x2 = x.reshape(-1, x.shape[-1])
     if "wp" in p:
+        # row-parallel shards compute partials in f32 so the later psum is
+        # order-insensitive and matches the single-device accumulation
+        xk = x2.astype(jnp.float32) if tp_axis is not None else x2
         if sc.a4:
-            y = w4a4_matmul(x2, p["wp"], p["scale"], clip_ratio=sc.a_clip)
+            token_scale = None
+            if tp_axis is not None:
+                absmax = jnp.max(jnp.abs(xk), axis=1, keepdims=True)
+                absmax = jax.lax.pmax(absmax, tp_axis)
+                token_scale = jnp.where(absmax == 0, 1.0,
+                                        absmax * sc.a_clip / 7.0)
+            y = w4a4_matmul(xk, p["wp"], p["scale"], token_scale,
+                            clip_ratio=sc.a_clip)
         else:
-            y = w4_matmul(x2, p["wp"], p["scale"])
+            y = w4_matmul(xk, p["wp"], p["scale"])
+        # keep f32 partials when row-parallel: the caller psums THEN casts
     else:
         y = x2 @ p["w"].astype(x2.dtype)
     if p.get("b") is not None:

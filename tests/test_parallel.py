@@ -1,0 +1,90 @@
+"""Multi-chip tests on the 8-device virtual CPU mesh: tensor-parallel
+serving must produce the same results as single-device serving."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rsq_tpu.core.quant import WeightQuantConfig
+from rsq_tpu.models import llama as M
+from rsq_tpu.models.config import ModelConfig
+from rsq_tpu.quantize import data as D
+from rsq_tpu.quantize.pipeline import RSQConfig, quantize_model
+from rsq_tpu.serving import model as S
+from rsq_tpu.serving.params import to_serving_params
+from rsq_tpu.parallel import tp as TP
+
+
+@pytest.fixture(scope="module")
+def setup():
+    # heads divisible by tp=4, kv heads by 4 -> use 8 heads / 4 kv heads
+    cfg = ModelConfig.tiny(num_layers=2, hidden_size=128,
+                           intermediate_size=256, num_attention_heads=8,
+                           num_key_value_heads=4)
+    params = M.init_params(cfg, jax.random.PRNGKey(0), scale=0.05)
+    calib = D.get_loaders("synthetic", nsamples=4, seqlen=16,
+                          vocab_size=cfg.vocab_size)
+    rsq = RSQConfig(w=WeightQuantConfig(bits=4, sym=True), nsamples=4)
+    qparams, quantizers = quantize_model(params, cfg, rsq, calib)
+    sparams = to_serving_params(qparams, quantizers, cfg)
+    return cfg, sparams
+
+
+@pytest.mark.parametrize("dp,a4,kv_int4", [(2, False, False), (2, True, True),
+                                           (1, True, True)])
+def test_tp_matches_single_device(setup, dp, a4, kv_int4):
+    cfg, sparams = setup
+    sc = S.ServingConfig(model=cfg, a4=a4, kv_int4=kv_int4,
+                         kv_hadamard=kv_int4, online_had=False, max_seq=32)
+    B = 2 * dp
+    ids = jnp.asarray(np.random.default_rng(0).integers(
+        0, cfg.vocab_size, (B, 8)))
+
+    # single-device reference
+    cache0 = S.init_cache(sc, B)
+    logits0, cache0 = S.prefill(sparams, cache0, ids, sc)
+    tok0 = jnp.argmax(logits0, axis=-1)
+    logits0b, _ = S.decode_step(sparams, cache0, tok0, sc)
+
+    # tp over the mesh (tp must divide the 4 kv heads -> tp=4)
+    mesh = TP.make_mesh(4 * dp, dp=dp)
+    p_sh = TP.shard_params(sparams, mesh)
+    cache = TP.shard_cache(S.init_cache(sc, B), mesh)
+    prefill, decode = TP.make_tp_step(p_sh, cache, mesh, sc)
+    logits1, cache = prefill(p_sh, cache, ids)
+    tok1 = jnp.argmax(logits1, axis=-1)
+    np.testing.assert_allclose(np.asarray(logits0, np.float32),
+                               np.asarray(logits1, np.float32),
+                               rtol=2e-2, atol=2e-2)
+    # argmax may flip only on near-ties (bf16 + collective-order rounding)
+    l0 = np.asarray(logits0, np.float32)
+    flips = np.asarray(tok0) != np.asarray(tok1)
+    for b in np.where(flips)[0]:
+        top2 = np.sort(l0[b])[-2:]
+        assert top2[1] - top2[0] < 0.1, "argmax flip on a clear maximum"
+    logits1b, cache = decode(p_sh, cache, tok1)
+    np.testing.assert_allclose(np.asarray(logits0b, np.float32),
+                               np.asarray(logits1b, np.float32),
+                               rtol=3e-2, atol=3e-2)
+
+
+def test_tp_online_hadamard_gather_path(setup):
+    """online_had under tp (gather->transform->slice) matches single-device
+    online_had."""
+    cfg, sparams = setup
+    sc = S.ServingConfig(model=cfg, a4=False, kv_int4=False,
+                         kv_hadamard=False, online_had=True, max_seq=32)
+    ids = jnp.asarray(np.random.default_rng(1).integers(
+        0, cfg.vocab_size, (2, 8)))
+    cache0 = S.init_cache(sc, 2)
+    logits0, _ = S.prefill(sparams, cache0, ids, sc)
+
+    mesh = TP.make_mesh(8, dp=2)
+    p_sh = TP.shard_params(sparams, mesh)
+    cache = TP.shard_cache(S.init_cache(sc, 2), mesh)
+    prefill, _ = TP.make_tp_step(p_sh, cache, mesh, sc)
+    logits1, _ = prefill(p_sh, cache, ids)
+    np.testing.assert_allclose(np.asarray(logits0, np.float32),
+                               np.asarray(logits1, np.float32),
+                               rtol=2e-2, atol=2e-2)
