@@ -179,6 +179,7 @@ class WeightQuantConfig:
     norm: float = 2.4
     grid: int = 100
     maxshrink: float = 0.8
+    nf: bool = False   # NormalFloat codebook instead of uniform grid
 
     @property
     def enabled(self) -> bool:
@@ -207,6 +208,10 @@ def weight_quant_params(W, cfg: WeightQuantConfig):
     xmax = jnp.maximum(jnp.max(Wf, axis=1), zero_f)
 
     def params_from_range(lo, hi):
+        if cfg.nf:
+            from rsq_tpu.core.nf import grid_max
+            amax = jnp.clip(jnp.maximum(jnp.abs(lo), hi), min=1e-5)
+            return amax / grid_max(cfg.bits), jnp.zeros_like(amax)
         if cfg.sym:
             amax = jnp.clip(jnp.maximum(jnp.abs(lo), hi), min=1e-5)
             return amax / maxq, jnp.zeros_like(amax)
@@ -223,7 +228,10 @@ def weight_quant_params(W, cfg: WeightQuantConfig):
             best, scale, zero = carry
             p = 1.0 - i.astype(jnp.float32) / cfg.grid
             s1, z1 = params_from_range(p * xmin, p * xmax)
-            if cfg.sym:
+            if cfg.nf:
+                from rsq_tpu.core.nf import nf_quant_dequant
+                q = nf_quant_dequant(Wf, cfg.bits, s1[:, None])
+            elif cfg.sym:
                 q = sym_quant_dequant(Wf, s1[:, None], maxq)
             else:
                 q = asym_quant_dequant(Wf, s1[:, None], z1[:, None], maxq)
@@ -249,6 +257,9 @@ def weight_fake_quant(W, scale, zero, cfg: WeightQuantConfig):
         return W
     _, maxq = minq_maxq(cfg.bits, cfg.sym)
     Wf = W.astype(jnp.float32)
+    if cfg.nf:
+        from rsq_tpu.core.nf import nf_quant_dequant
+        return nf_quant_dequant(Wf, cfg.bits, scale).astype(W.dtype)
     if cfg.sym:
         y = sym_quant_dequant(Wf, scale, maxq)
     else:

@@ -124,6 +124,9 @@ class GPTQConfig:
 
 def _quant_dq(w_col, scale, zero, cfg: WeightQuantConfig):
     """Quantize-dequantize one column (rows,) with per-row params."""
+    if cfg.nf:
+        from rsq_tpu.core.nf import nf_quant_dequant
+        return nf_quant_dequant(w_col, cfg.bits, scale)
     _, maxq = minq_maxq(cfg.bits, cfg.sym)
     if cfg.sym:
         return sym_quant_dequant(w_col, scale, maxq)

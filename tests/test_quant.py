@@ -105,3 +105,28 @@ def test_weight_store_matches_fake_quant(sym):
         deq = Q.asym_dequant(codes.astype(jnp.float32), scale, zero)
     fq = Q.weight_fake_quant(W, scale, zero, cfg)
     np.testing.assert_allclose(np.asarray(deq), np.asarray(fq), rtol=1e-6, atol=1e-6)
+
+
+def test_nf_codebook_and_quant():
+    from rsq_tpu.core import nf
+    v = nf.nf_codebook(4)
+    assert len(v) == 16
+    assert v[0] < 0 < v[-1]
+    assert abs(v[2 ** 3 - 1]) < 1e-9  # zero is on the grid
+    # round trip: codebook values map to themselves at scale 1
+    x = jnp.asarray(v, jnp.float32)
+    out = nf.nf_quant_dequant(x, 4, jnp.float32(1.0))
+    np.testing.assert_allclose(np.asarray(out), v, atol=1e-5)
+
+
+def test_nf_weight_quant_beats_uniform_on_gaussian():
+    from rsq_tpu.core import nf
+    rng = np.random.default_rng(11)
+    W = jnp.asarray(rng.standard_normal((8, 512)).astype(np.float32))
+    cfg_nf = Q.WeightQuantConfig(bits=4, nf=True)
+    cfg_u = Q.WeightQuantConfig(bits=4, sym=True)
+    s_nf, z_nf = Q.weight_quant_params(W, cfg_nf)
+    s_u, z_u = Q.weight_quant_params(W, cfg_u)
+    e_nf = float(jnp.mean((Q.weight_fake_quant(W, s_nf, z_nf, cfg_nf) - W) ** 2))
+    e_u = float(jnp.mean((Q.weight_fake_quant(W, s_u, z_u, cfg_u) - W) ** 2))
+    assert e_nf < e_u  # NF4 is optimized for Gaussian weights
