@@ -1,0 +1,226 @@
+"""Command-line entry point — the typed replacement for the reference's
+argparse+YAML+env sprawl (fake_quant/utils.py:81-289 ~70 flags; SURVEY.md §5
+"Config / flag system").
+
+Usage:
+  python -m rsq_tpu.cli quantize --model <hf-path|tiny|llama3-8b> \
+      --w-bits 4 --rotate --weighting attncon --min-value 0.005 --max-value 1 \
+      --nsamples 128 --train-seqlen 2048 --cal-dataset wikitext2 \
+      --save <dir> [--a-bits 4 --v-bits 4 --k-bits 4] [--eval]
+  python -m rsq_tpu.cli eval --load <dir> [--a-bits 4 ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import logging
+import sys
+import time
+
+
+def _build_parser():
+    p = argparse.ArgumentParser(prog="rsq_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    q = sub.add_parser("quantize", help="run the RSQ pipeline")
+    q.add_argument("--model", default="tiny",
+                   help="HF checkpoint path, 'tiny', or a named config "
+                        "(llama3-8b, llama2-7b, qwen25-7b, mistral-nemo with "
+                        "random weights)")
+    q.add_argument("--seed", type=int, default=0)
+    # rotation
+    q.add_argument("--rotate", action="store_true")
+    q.add_argument("--rotate-mode", default="hadamard",
+                   choices=["hadamard", "random"])
+    q.add_argument("--rotation-seed", type=int, default=0)
+    q.add_argument("--fp32-had", action="store_true")
+    # weights
+    q.add_argument("--w-bits", type=int, default=4)
+    q.add_argument("--w-asym", action="store_true")
+    q.add_argument("--w-clip", action="store_true")
+    q.add_argument("--w-groupsize", type=int, default=-1)
+    q.add_argument("--w-rtn", action="store_true")
+    q.add_argument("--act-order", action="store_true")
+    q.add_argument("--percdamp", type=float, default=0.01)
+    q.add_argument("--add-until-fail", action="store_true")
+    q.add_argument("--e8p", action="store_true")
+    q.add_argument("--nf", action="store_true")
+    q.add_argument("--int8-down-proj", action="store_true")
+    q.add_argument("--layers-dont-quantize", type=int, nargs="*", default=[])
+    # calibration
+    q.add_argument("--nsamples", type=int, default=128)
+    q.add_argument("--train-seqlen", type=int, default=2048)
+    q.add_argument("--cal-dataset", default="wikitext2",
+                   choices=["wikitext2", "ptb", "c4", "synthetic"])
+    q.add_argument("--expand-factor", type=int, default=1)
+    # weighting
+    q.add_argument("--weighting", default=None,
+                   choices=[None, "attncon", "heuristic", "actnorm",
+                            "actdiff", "tokenfreq", "tokensim", "cluster",
+                            "dot"])
+    q.add_argument("--min-value", type=float, default=1.0)
+    q.add_argument("--max-value", type=float, default=3.0)
+    q.add_argument("--quantile-value", type=float, default=None)
+    q.add_argument("--num-bins", type=int, default=None)
+    q.add_argument("--masking", type=float, default=None)
+    q.add_argument("--truncate", type=float, default=None)
+    q.add_argument("--reverse", action="store_true")
+    q.add_argument("--method-type", default="first_half")
+    q.add_argument("--weighting-apply-module", default="all")
+    q.add_argument("--custom-attn-type", default=None,
+                   choices=[None, "block", "window", "topk", "sink", "ss"])
+    q.add_argument("--attn-length", type=int, default=None)
+    q.add_argument("--num-sink-token", type=int, default=8)
+    # activations / kv
+    q.add_argument("--a-bits", type=int, default=16)
+    q.add_argument("--a-asym", action="store_true")
+    q.add_argument("--a-groupsize", type=int, default=-1)
+    q.add_argument("--a-clip-ratio", type=float, default=1.0)
+    q.add_argument("--v-bits", type=int, default=16)
+    q.add_argument("--v-asym", action="store_true")
+    q.add_argument("--v-groupsize", type=int, default=-1)
+    q.add_argument("--v-clip-ratio", type=float, default=1.0)
+    q.add_argument("--k-bits", type=int, default=16)
+    q.add_argument("--k-asym", action="store_true")
+    q.add_argument("--k-groupsize", type=int, default=-1)
+    q.add_argument("--k-clip-ratio", type=float, default=1.0)
+    # eval / io
+    q.add_argument("--eval", action="store_true", help="wiki PPL after quant")
+    q.add_argument("--eval-dataset", default="wikitext2")
+    q.add_argument("--val-seqlen", type=int, default=2048)
+    q.add_argument("--bsz", type=int, default=8)
+    q.add_argument("--save", default=None)
+
+    e = sub.add_parser("eval", help="evaluate a saved quantized checkpoint")
+    e.add_argument("--load", required=True)
+    e.add_argument("--eval-dataset", default="wikitext2")
+    e.add_argument("--val-seqlen", type=int, default=2048)
+    e.add_argument("--bsz", type=int, default=8)
+    for name, d in [("--a-bits", 16), ("--v-bits", 16), ("--k-bits", 16)]:
+        e.add_argument(name, type=int, default=d)
+    return p
+
+
+def _load_model(name: str, seed: int):
+    import jax
+    from rsq_tpu.models import llama as M
+    from rsq_tpu.models.config import ModelConfig
+
+    named = {"llama3-8b": ModelConfig.llama3_8b,
+             "llama2-7b": ModelConfig.llama2_7b,
+             "qwen25-7b": ModelConfig.qwen25_7b,
+             "mistral-nemo": ModelConfig.mistral_nemo,
+             "tiny": ModelConfig.tiny}
+    if name in named:
+        cfg = named[name]()
+        params = M.init_params(cfg, jax.random.PRNGKey(seed),
+                               scale=0.05 if name == "tiny" else 0.02)
+        return cfg, params, None
+    from rsq_tpu.models.hf import load_hf
+    cfg, params = load_hf(name)
+    return cfg, params, name
+
+
+def _policy_from_args(a, fused: bool):
+    from rsq_tpu.core.quant import ActQuantConfig
+    from rsq_tpu.models.policy import KVQuantConfig, QuantPolicy
+    return QuantPolicy(
+        a=ActQuantConfig(bits=a.a_bits, sym=not a.a_asym,
+                         groupsize=a.a_groupsize, clip_ratio=a.a_clip_ratio)
+        if hasattr(a, "a_asym") else ActQuantConfig(bits=a.a_bits),
+        v=ActQuantConfig(bits=a.v_bits, sym=not getattr(a, "v_asym", False),
+                         groupsize=getattr(a, "v_groupsize", -1),
+                         clip_ratio=getattr(a, "v_clip_ratio", 1.0)),
+        k=KVQuantConfig(bits=a.k_bits, sym=not getattr(a, "k_asym", False),
+                        groupsize=getattr(a, "k_groupsize", -1),
+                        clip_ratio=getattr(a, "k_clip_ratio", 1.0)),
+        online_had_down=fused, online_had_o=fused,
+        fp32_had=getattr(a, "fp32_had", False), norms_fused=fused)
+
+
+def cmd_quantize(a):
+    import numpy as np
+    from rsq_tpu.core.quant import WeightQuantConfig
+    from rsq_tpu.quantize import data as D
+    from rsq_tpu.quantize.gptq import GPTQConfig
+    from rsq_tpu.quantize.pipeline import RSQConfig, quantize_model
+    from rsq_tpu.quantize.weighting import WeightingConfig
+
+    cfg, params, hf_name = _load_model(a.model, a.seed)
+    logging.info("model %s: %d layers, hidden %d", a.model, cfg.num_layers,
+                 cfg.hidden_size)
+
+    calib = D.get_loaders(a.cal_dataset, nsamples=a.nsamples, seed=a.seed,
+                          seqlen=a.train_seqlen, model=hf_name or "",
+                          vocab_size=cfg.vocab_size)
+    if a.expand_factor > 1:
+        calib = D.expand_dataset(calib, a.expand_factor)
+
+    weighting = None
+    if a.weighting:
+        weighting = WeightingConfig(
+            method=a.weighting, min_value=a.min_value, max_value=a.max_value,
+            quantile_value=a.quantile_value, num_bins=a.num_bins,
+            masking=a.masking, truncate=a.truncate, reverse=a.reverse,
+            method_type=a.method_type, apply_module=a.weighting_apply_module,
+            custom_attn_type=a.custom_attn_type, attn_length=a.attn_length,
+            num_sink_token=a.num_sink_token)
+
+    rsq = RSQConfig(
+        w=WeightQuantConfig(bits=a.w_bits, sym=not a.w_asym, mse=a.w_clip,
+                            nf=a.nf),
+        gptq=GPTQConfig(groupsize=a.w_groupsize, actorder=a.act_order,
+                        percdamp=a.percdamp, add_until_fail=a.add_until_fail),
+        weighting=weighting, rotate=a.rotate, rotate_mode=a.rotate_mode,
+        rotation_seed=a.rotation_seed, w_rtn=a.w_rtn, e8p=a.e8p,
+        nsamples=a.nsamples, seed=a.seed, int8_down_proj=a.int8_down_proj,
+        layers_dont_quantize=tuple(a.layers_dont_quantize))
+
+    t0 = time.time()
+    qparams, quantizers = quantize_model(params, cfg, rsq, calib)
+    logging.info("quantization time: %.1fs", time.time() - t0)
+
+    if a.save:
+        from rsq_tpu.quantize.checkpoint import save_quantized
+        save_quantized(a.save, qparams, quantizers, cfg,
+                       meta={"rotate": a.rotate, "w_bits": a.w_bits,
+                             "weighting": a.weighting})
+        logging.info("saved to %s", a.save)
+
+    if a.eval:
+        from rsq_tpu.eval.ppl import ppl_fullmodel
+        stream = D.get_loaders(a.eval_dataset, eval_mode=True, seed=a.seed,
+                               model=hf_name or "", vocab_size=cfg.vocab_size)
+        policy = _policy_from_args(a, fused=a.rotate)
+        ppl = ppl_fullmodel(qparams, cfg, policy, stream, a.val_seqlen, a.bsz)
+        print(json.dumps({"ppl": ppl, "dataset": a.eval_dataset,
+                          "val_seqlen": a.val_seqlen}))
+
+
+def cmd_eval(a):
+    from rsq_tpu.eval.ppl import ppl_fullmodel
+    from rsq_tpu.quantize import data as D
+    from rsq_tpu.quantize.checkpoint import load_quantized
+
+    params, quantizers, cfg, manifest = load_quantized(a.load)
+    fused = manifest.get("norms_fused", False)
+    policy = _policy_from_args(a, fused=fused)
+    stream = D.get_loaders(a.eval_dataset, eval_mode=True,
+                           vocab_size=cfg.vocab_size)
+    ppl = ppl_fullmodel(params, cfg, policy, stream, a.val_seqlen, a.bsz)
+    print(json.dumps({"ppl": ppl, "dataset": a.eval_dataset}))
+
+
+def main(argv=None):
+    logging.basicConfig(level=logging.INFO, format="%(message)s")
+    a = _build_parser().parse_args(argv)
+    if a.cmd == "quantize":
+        cmd_quantize(a)
+    elif a.cmd == "eval":
+        cmd_eval(a)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,74 @@
+"""Checkpoint round-trip + CLI end-to-end."""
+
+import json
+import subprocess
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rsq_tpu.core.quant import WeightQuantConfig
+from rsq_tpu.models import llama as M
+from rsq_tpu.models.config import ModelConfig
+from rsq_tpu.models.policy import FP16
+from rsq_tpu.quantize import data as D
+from rsq_tpu.quantize.checkpoint import load_quantized, save_quantized
+from rsq_tpu.quantize.pipeline import RSQConfig, quantize_model
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    cfg = ModelConfig.tiny(num_layers=2)
+    params = M.init_params(cfg, jax.random.PRNGKey(0), scale=0.05)
+    calib = D.get_loaders("synthetic", nsamples=4, seqlen=16,
+                          vocab_size=cfg.vocab_size)
+    rsq = RSQConfig(w=WeightQuantConfig(bits=4, sym=True), rotate=True,
+                    nsamples=4)
+    qparams, quantizers = quantize_model(params, cfg, rsq, calib)
+    save_quantized(str(tmp_path / "ckpt"), qparams, quantizers, cfg,
+                   meta={"rotate": True})
+
+    p2, q2, cfg2, manifest = load_quantized(str(tmp_path / "ckpt"))
+    assert cfg2 == cfg
+    assert manifest["norms_fused"] is True
+    assert q2["layers.0.q"]["bits"] == 4
+    ids = jnp.asarray(np.random.default_rng(0).integers(
+        0, cfg.vocab_size, (1, 8)))
+    from rsq_tpu.models.policy import QuantPolicy
+    pol = QuantPolicy(online_had_down=True, online_had_o=True,
+                      norms_fused=True)
+    a = M.forward(qparams, ids, cfg, pol)
+    b = M.forward(p2, ids, cfg2, pol)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_cli_quantize_eval(tmp_path):
+    out = subprocess.run(
+        [sys.executable, "-m", "rsq_tpu.cli", "quantize", "--model", "tiny",
+         "--w-bits", "4", "--rotate", "--weighting", "actnorm",
+         "--nsamples", "4", "--train-seqlen", "16",
+         "--cal-dataset", "synthetic", "--eval", "--eval-dataset", "synthetic",
+         "--val-seqlen", "32", "--bsz", "4",
+         "--save", str(tmp_path / "c")],
+        capture_output=True, text=True, timeout=600,
+        env={"PYTHONPATH": "/root/repo", "PATH": "/usr/bin:/bin",
+             "JAX_PLATFORMS": "cpu", "HOME": "/root"},
+        cwd="/root/repo")
+    assert out.returncode == 0, out.stderr[-2000:]
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    res = json.loads(line)
+    assert np.isfinite(res["ppl"]) and res["ppl"] > 0
+
+    out2 = subprocess.run(
+        [sys.executable, "-m", "rsq_tpu.cli", "eval", "--load",
+         str(tmp_path / "c"), "--eval-dataset", "synthetic",
+         "--val-seqlen", "32", "--bsz", "4"],
+        capture_output=True, text=True, timeout=600,
+        env={"PYTHONPATH": "/root/repo", "PATH": "/usr/bin:/bin",
+             "JAX_PLATFORMS": "cpu", "HOME": "/root"},
+        cwd="/root/repo")
+    assert out2.returncode == 0, out2.stderr[-2000:]
+    line2 = [l for l in out2.stdout.splitlines() if l.startswith("{")][-1]
+    res2 = json.loads(line2)
+    assert abs(res2["ppl"] - res["ppl"]) / res["ppl"] < 0.05
