@@ -26,50 +26,62 @@ import numpy as np
 sys.path.insert(0, "/root/repo")
 
 
+def _rand_bytes(rng, shape):
+    return np.frombuffer(rng.bytes(int(np.prod(shape))),
+                         dtype=np.uint8).reshape(shape)
+
+
 def build_int4_params(cfg, seed=0):
+    """Stacked (lax.scan) serving params. One layer of random weights is
+    generated on host and broadcast to all layers on device (weight CONTENT
+    is irrelevant to throughput; HBM still holds L physical copies)."""
     import jax.numpy as jnp
-    from rsq_tpu.kernels.matmul_w4 import pack_w4_planar
     rng = np.random.default_rng(seed)
+    L = cfg.num_layers
     d, f, v = cfg.hidden_size, cfg.intermediate_size, cfg.vocab_size
 
     def packed(k, n):
-        wq = rng.integers(-8, 8, size=(k, n), dtype=np.int8)
+        wp = jnp.asarray(_rand_bytes(rng, (k, n // 2)))
         scale = (rng.uniform(0.5, 1.5, size=(n,)) /
                  (7 * np.sqrt(k))).astype(np.float32)
-        return {"wp": pack_w4_planar(jnp.asarray(wq)),
-                "scale": jnp.asarray(scale), "b": None}
+        return {"wp": jnp.broadcast_to(wp, (L, k, n // 2)).copy(),
+                "scale": jnp.broadcast_to(jnp.asarray(scale), (L, n)).copy(),
+                "b": None}
 
-    layers = [{
+    stacked = {
         "input_norm": None, "post_norm": None,
         "q": packed(d, cfg.q_dim), "k": packed(d, cfg.kv_dim),
         "v": packed(d, cfg.kv_dim), "o": packed(cfg.q_dim, d),
         "up": packed(d, f), "gate": packed(d, f), "down": packed(f, d),
-    } for _ in range(cfg.num_layers)]
+    }
     emb = (rng.standard_normal((v, d)) * 0.01).astype(np.float32)
     return {"embed": jnp.asarray(emb, jnp.bfloat16), "final_norm": None,
             "lm_head": jnp.asarray(emb.T.copy(), jnp.bfloat16),
-            "layers": layers}
+            "layers_stacked": stacked}
 
 
 def build_bf16_params(cfg, seed=0):
     import jax.numpy as jnp
     rng = np.random.default_rng(seed)
+    L = cfg.num_layers
     d, f, v = cfg.hidden_size, cfg.intermediate_size, cfg.vocab_size
 
     def dense(k, n):
-        w = (rng.standard_normal((k, n)) / np.sqrt(k) * 0.1).astype(np.float32)
-        return {"w": jnp.asarray(w, jnp.bfloat16), "b": None}
+        w = ((_rand_bytes(rng, (k, n)).astype(np.float32) - 127.5)
+             / (128 * np.sqrt(k))).astype(np.float32)
+        wj = jnp.asarray(w, jnp.bfloat16)
+        return {"w": jnp.broadcast_to(wj, (L, k, n)).copy(), "b": None}
 
-    layers = [{
+    stacked = {
         "input_norm": None, "post_norm": None,
         "q": dense(d, cfg.q_dim), "k": dense(d, cfg.kv_dim),
         "v": dense(d, cfg.kv_dim), "o": dense(cfg.q_dim, d),
         "up": dense(d, f), "gate": dense(d, f), "down": dense(f, d),
-    } for _ in range(cfg.num_layers)]
+    }
     emb = (rng.standard_normal((v, d)) * 0.01).astype(np.float32)
     return {"embed": jnp.asarray(emb, jnp.bfloat16), "final_norm": None,
             "lm_head": jnp.asarray(emb.T.copy(), jnp.bfloat16),
-            "layers": layers}
+            "layers_stacked": stacked}
 
 
 def measure_decode(params, sc, batch, n1=8, n2=40, repeats=3):
@@ -81,13 +93,13 @@ def measure_decode(params, sc, batch, n1=8, n2=40, repeats=3):
 
     cache = S.init_cache(sc, batch)
     ids = jnp.zeros((batch, 16), jnp.int32)
-    _, cache = S.prefill(params, cache, ids, sc)
+    _, cache = S.prefill_stacked(params, cache, ids, sc)
 
     @partial(jax.jit, static_argnames=("n",))
     def run(params, cache, tok, n):
         def step(carry, _):
             cache, tok = carry
-            logits, cache = S.decode_step(params, cache, tok, sc)
+            logits, cache = S.decode_step_stacked(params, cache, tok, sc)
             return (cache, jnp.argmax(logits, axis=-1)), None
         (cache, tok), _ = jax.lax.scan(step, (cache, tok), None, length=n)
         return tok

@@ -262,6 +262,160 @@ def decode_step(params, cache, token_ids, sc: ServingConfig):
     return logits, cache
 
 
+# ---------------------------------------------------------------------------
+# Layer-scanned entry points: all decoder layers share one pytree structure,
+# so the layer loop compiles as a lax.scan over stacked parameters — one
+# layer body in the HLO instead of num_layers unrolled copies (compile time
+# and program size drop ~30x for 8B models).
+# ---------------------------------------------------------------------------
+
+def stack_layer_params(params):
+    """Stack params["layers"] (list of identical pytrees) into one pytree of
+    (L, ...) leaves. Requires homogeneous layers (all packed or all dense)."""
+    layers = params["layers"]
+    stacked = jax.tree_util.tree_map(
+        lambda *xs: None if xs[0] is None else jnp.stack(xs), *layers,
+        is_leaf=lambda x: x is None)
+    out = dict(params)
+    out["layers_stacked"] = stacked
+    out.pop("layers")
+    return out
+
+
+def _cache_slices(cache):
+    """Split the per-layer arrays (leading dim L) from shared state."""
+    per_layer = {k: v for k, v in cache.items() if k != "length"}
+    return per_layer, cache["length"]
+
+
+def _decode_cache_slice(lp, x, cslice, length, cos, sin, pos, cfg, sc):
+    """decode_layer on ONE layer's cache slice (no leading L dim)."""
+    b = x.shape[0]
+    h = M.rms_norm(x, lp.get("input_norm"), cfg.rms_norm_eps)
+    q, k, v = _qkv(lp, h, cfg, sc)
+    q = M.apply_rope(q, cos, sin)
+    k = M.apply_rope(k, cos, sin)
+
+    kb = jnp.swapaxes(k, 1, 2)
+    vb = jnp.swapaxes(v, 1, 2)
+    pos = pos.astype(jnp.int32)
+    z = jnp.int32(0)
+    if sc.kv_int4:
+        if sc.kv_hadamard:
+            kb = hadamard_transform_last(kb)
+        kq, kp = KVK.to_lane_major(*KVK.asym_quant_pack_head(kb))
+        vq, vp = KVK.to_lane_major(*KVK.asym_quant_pack_head(vb))
+        for name, val in (("kq", kq), ("kp", kp), ("vq", vq), ("vp", vp)):
+            cslice[name] = jax.lax.dynamic_update_slice(
+                cslice[name], val.astype(cslice[name].dtype), (z, z, z, pos))
+    else:
+        cslice["k"] = jax.lax.dynamic_update_slice(
+            cslice["k"], kb.astype(cslice["k"].dtype), (z, z, pos, z))
+        cslice["v"] = jax.lax.dynamic_update_slice(
+            cslice["v"], vb.astype(cslice["v"].dtype), (z, z, pos, z))
+
+    lengths = length + 1
+    hd = cfg.head_dim_
+    if sc.kv_int4:
+        qh = q.reshape(b, -1, hd)
+        if sc.kv_hadamard:
+            qh = hadamard_transform_last(qh)
+        attn = KVK.int4_decode_attention(
+            qh, cslice["kq"], cslice["kp"], cslice["vq"], cslice["vp"],
+            lengths)
+    else:
+        S = cslice["k"].shape[2]
+        nrep = cfg.num_attention_heads // cfg.num_key_value_heads
+        kf = jnp.repeat(cslice["k"], nrep, axis=1)
+        vf = jnp.repeat(cslice["v"], nrep, axis=1)
+        qg = q.reshape(b, -1, hd).astype(jnp.float32)
+        logits = jnp.einsum("bhd,bhsd->bhs", qg, kf.astype(jnp.float32))
+        logits = logits / jnp.sqrt(jnp.asarray(hd, jnp.float32))
+        valid = jnp.arange(S)[None, None, :] < lengths[:, None, None]
+        logits = jnp.where(valid, logits, -1e30)
+        p = jax.nn.softmax(logits, axis=-1)
+        attn = jnp.einsum("bhs,bhsd->bhd", p, vf.astype(jnp.float32))
+        attn = attn.astype(x.dtype)
+    attn = attn.reshape(b, 1, -1)
+    x = x + _attn_out(lp, attn, cfg, sc)
+    h2 = M.rms_norm(x, lp.get("post_norm"), cfg.rms_norm_eps)
+    return x + _mlp(lp, h2, cfg, sc), cslice
+
+
+def _prefill_cache_slice(lp, x, cslice, cos, sin, mask, cfg, sc):
+    h = M.rms_norm(x, lp.get("input_norm"), cfg.rms_norm_eps)
+    q, k, v = _qkv(lp, h, cfg, sc)
+    q = M.apply_rope(q, cos, sin)
+    k = M.apply_rope(k, cos, sin)
+    kbhsd = jnp.swapaxes(k, 1, 2)
+    vbhsd = jnp.swapaxes(v, 1, 2)
+    if sc.kv_int4:
+        kk = hadamard_transform_last(kbhsd) if sc.kv_hadamard else kbhsd
+        kq, kp = KVK.to_lane_major(*KVK.asym_quant_pack_head(kk))
+        vq, vp = KVK.to_lane_major(*KVK.asym_quant_pack_head(vbhsd))
+        S = kq.shape[-1]
+        cslice["kq"] = cslice["kq"].at[:, :, :, :S].set(kq)
+        cslice["kp"] = cslice["kp"].at[:, :, :, :S].set(kp)
+        cslice["vq"] = cslice["vq"].at[:, :, :, :S].set(vq)
+        cslice["vp"] = cslice["vp"].at[:, :, :, :S].set(vp)
+    else:
+        S = kbhsd.shape[2]
+        cslice["k"] = cslice["k"].at[:, :, :S].set(kbhsd.astype(cslice["k"].dtype))
+        cslice["v"] = cslice["v"].at[:, :, :S].set(vbhsd.astype(cslice["v"].dtype))
+    nrep = cfg.num_attention_heads // cfg.num_key_value_heads
+    attn = M.attention(q, M.repeat_kv(k, nrep), M.repeat_kv(v, nrep), mask)
+    b, s = x.shape[:2]
+    attn = attn.reshape(b, s, -1)
+    x = x + _attn_out(lp, attn, cfg, sc)
+    h2 = M.rms_norm(x, lp.get("post_norm"), cfg.rms_norm_eps)
+    return x + _mlp(lp, h2, cfg, sc), cslice
+
+
+@partial(jax.jit, static_argnames=("sc",))
+def prefill_stacked(params, cache, input_ids, sc: ServingConfig):
+    """prefill over stacked layers (params from stack_layer_params)."""
+    cfg = sc.cfg
+    b, s = input_ids.shape
+    x = params["embed"][input_ids].astype(jnp.bfloat16)
+    cos, sin = M.rope_tables(cfg, jnp.arange(s))
+    mask = M.causal_mask(s)
+    per_layer, length = _cache_slices(cache)
+
+    def step(x, xs):
+        lp, cslice = xs
+        x, cslice = _prefill_cache_slice(lp, x, cslice, cos, sin, mask, cfg, sc)
+        return x, cslice
+
+    x, per_layer = jax.lax.scan(step, x, (params["layers_stacked"], per_layer))
+    cache = dict(per_layer)
+    cache["length"] = length + s
+    x = M.rms_norm(x[:, -1:], params.get("final_norm"), cfg.rms_norm_eps)
+    logits = (x @ params["lm_head"].astype(x.dtype))[:, 0]
+    return logits, cache
+
+
+@partial(jax.jit, static_argnames=("sc",))
+def decode_step_stacked(params, cache, token_ids, sc: ServingConfig):
+    cfg = sc.cfg
+    per_layer, length = _cache_slices(cache)
+    pos = length[0]
+    x = params["embed"][token_ids][:, None, :].astype(jnp.bfloat16)
+    cos, sin = M.rope_tables(cfg, pos[None])
+
+    def step(x, xs):
+        lp, cslice = xs
+        x, cslice = _decode_cache_slice(lp, x, cslice, length, cos, sin, pos,
+                                        cfg, sc)
+        return x, cslice
+
+    x, per_layer = jax.lax.scan(step, x, (params["layers_stacked"], per_layer))
+    cache = dict(per_layer)
+    cache["length"] = length + 1
+    x = M.rms_norm(x, params.get("final_norm"), cfg.rms_norm_eps)
+    logits = (x @ params["lm_head"].astype(x.dtype))[:, 0]
+    return logits, cache
+
+
 def generate(params, input_ids, sc: ServingConfig, max_new_tokens: int):
     """Greedy generation; decode loop is a lax.scan (one XLA program)."""
     cache = init_cache(sc, input_ids.shape[0])

@@ -1,0 +1,67 @@
+"""Stacked (lax.scan over layers) serving must equal the unrolled path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rsq_tpu.core.quant import WeightQuantConfig
+from rsq_tpu.models import llama as M
+from rsq_tpu.models.config import ModelConfig
+from rsq_tpu.quantize import data as D
+from rsq_tpu.quantize.pipeline import RSQConfig, quantize_model
+from rsq_tpu.serving import model as S
+from rsq_tpu.serving.params import to_serving_params
+
+
+@pytest.mark.parametrize("a4,kv_int4", [(True, True), (False, False)])
+def test_stacked_matches_unrolled(a4, kv_int4):
+    cfg = ModelConfig.tiny(num_layers=3, intermediate_size=128)
+    params = M.init_params(cfg, jax.random.PRNGKey(0), scale=0.05)
+    calib = D.get_loaders("synthetic", nsamples=2, seqlen=16,
+                          vocab_size=cfg.vocab_size)
+    rsq = RSQConfig(w=WeightQuantConfig(bits=4, sym=True), nsamples=2)
+    qparams, quantizers = quantize_model(params, cfg, rsq, calib)
+    sparams = to_serving_params(qparams, quantizers, cfg)
+    stacked = S.stack_layer_params(sparams)
+
+    sc = S.ServingConfig(model=cfg, a4=a4, kv_int4=kv_int4,
+                         kv_hadamard=kv_int4, online_had=False, max_seq=32)
+    ids = jnp.asarray(np.random.default_rng(0).integers(
+        0, cfg.vocab_size, (2, 8)))
+
+    # scan bodies fuse differently than unrolled layers, so bf16 rounding
+    # differs slightly (and int4 codes can tie-flip); compare within noise.
+    c0 = S.init_cache(sc, 2)
+    l0, c0 = S.prefill(sparams, c0, ids, sc)
+    c1 = S.init_cache(sc, 2)
+    l1, c1 = S.prefill_stacked(stacked, c1, ids, sc)
+    def close(a, b):
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        if a4:
+            # int4 activation tie-flips under different fusion rounding
+            # cascade through layers; require strong agreement, not equality
+            corr = np.corrcoef(a.ravel(), b.ravel())[0, 1]
+            assert corr > 0.98, corr
+            assert np.max(np.abs(a - b)) < 0.5
+        else:
+            np.testing.assert_allclose(a, b, rtol=2e-2, atol=2e-2)
+
+    close(l0, l1)
+    assert c0.keys() == c1.keys()
+    np.testing.assert_array_equal(np.asarray(c0["length"]),
+                                  np.asarray(c1["length"]))
+    if kv_int4:
+        from rsq_tpu.kernels import kv_cache as KVK
+        for qk, pk in (("kq", "kp"), ("vq", "vp")):
+            a = KVK.unpack_dequant_head(
+                jnp.swapaxes(c0[qk], -1, -2), jnp.swapaxes(c0[pk], -1, -2))
+            b = KVK.unpack_dequant_head(
+                jnp.swapaxes(c1[qk], -1, -2), jnp.swapaxes(c1[pk], -1, -2))
+            close(a, b)
+
+    tok = jnp.argmax(l0, axis=-1)
+    l0b, c0 = S.decode_step(sparams, c0, tok, sc)
+    l1b, c1 = S.decode_step_stacked(stacked, c1, tok, sc)
+    close(l0b, l1b)
