@@ -1,0 +1,235 @@
+"""Slot-based continuous-batching serving engine.
+
+The reference serves fixed batches with equal lengths (its cache raises on
+unequal page counts, kv_cache.py:265-267, and generation is
+one-batch-at-a-time e2e/benchmark.py).  This engine is new capability
+toward the north star: B cache slots decode jointly with PER-SLOT lengths
+and positions; finished sequences free their slot and queued requests are
+admitted by prefilling into the free slot while other slots keep their
+state.  All hot paths are jitted with static shapes; only admission logic
+runs in Python.
+
+Per-slot decode needs per-slot RoPE positions and cache-append offsets:
+rope tables are gathered per slot, appends loop over the (small) batch with
+one dynamic_update_slice each, and the INT4 decode kernel already takes a
+per-batch length vector.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rsq_tpu.core.hadamard import hadamard_transform_last
+from rsq_tpu.kernels import kv_cache as KVK
+from rsq_tpu.models import llama as M
+from rsq_tpu.serving.model import (
+    ServingConfig, init_cache, serving_linear, _attn_out, _mlp)
+
+
+# ---------------------------------------------------------------------------
+# Varlen decode step (per-slot positions)
+# ---------------------------------------------------------------------------
+
+def _append_varlen(cache, layer, k, v, positions, sc: ServingConfig):
+    """k/v: (B, 1, H, D); positions: (B,) per-slot write offsets."""
+    kb = jnp.swapaxes(k, 1, 2)
+    vb = jnp.swapaxes(v, 1, 2)
+    B = kb.shape[0]
+    li = jnp.int32(layer)
+    z = jnp.int32(0)
+    if sc.kv_int4:
+        if sc.kv_hadamard:
+            kb = hadamard_transform_last(kb)
+        kq, kp = KVK.to_lane_major(*KVK.asym_quant_pack_head(kb))
+        vq, vp = KVK.to_lane_major(*KVK.asym_quant_pack_head(vb))
+        for name, val in (("kq", kq), ("kp", kp), ("vq", vq), ("vp", vp)):
+            arr = cache[name]
+            for b in range(B):
+                arr = jax.lax.dynamic_update_slice(
+                    arr, val[None, b:b + 1].astype(arr.dtype),
+                    (li, jnp.int32(b), z, z, positions[b].astype(jnp.int32)))
+            cache[name] = arr
+    else:
+        for name, val in (("k", kb), ("v", vb)):
+            arr = cache[name]
+            for b in range(B):
+                arr = jax.lax.dynamic_update_slice(
+                    arr, val[None, b:b + 1].astype(arr.dtype),
+                    (li, jnp.int32(b), z, positions[b].astype(jnp.int32), z))
+            cache[name] = arr
+    return cache
+
+
+@partial(jax.jit, static_argnames=("sc",))
+def decode_step_varlen(params, cache, token_ids, sc: ServingConfig):
+    """One decode step with PER-SLOT positions (cache['length'] per slot).
+    params: unstacked serving params (list of layers)."""
+    cfg = sc.cfg
+    B = token_ids.shape[0]
+    positions = cache["length"]
+    x = params["embed"][token_ids][:, None, :].astype(jnp.bfloat16)
+    # per-slot rope: gather cos/sin rows at each slot's position
+    cos_t, sin_t = M.rope_tables(cfg, jnp.arange(sc.max_seq))
+    cos = cos_t[positions][:, None, :]      # (B, 1, hd)
+    sin = sin_t[positions][:, None, :]
+    hd = cfg.head_dim_
+
+    for i, lp in enumerate(params["layers"]):
+        h = M.rms_norm(x, lp.get("input_norm"), cfg.rms_norm_eps)
+        q = serving_linear(h, lp["q"], sc).reshape(B, 1, -1, hd)
+        k = serving_linear(h, lp["k"], sc).reshape(B, 1, -1, hd)
+        v = serving_linear(h, lp["v"], sc).reshape(B, 1, -1, hd)
+        q = M.apply_rope(q, cos, sin)
+        k = M.apply_rope(k, cos, sin)
+        cache = _append_varlen(cache, i, k, v, positions, sc)
+        lengths = positions + 1
+        if sc.kv_int4:
+            qh = q.reshape(B, -1, hd)
+            if sc.kv_hadamard:
+                qh = hadamard_transform_last(qh)
+            attn = KVK.int4_decode_attention(
+                qh, cache["kq"][i], cache["kp"][i],
+                cache["vq"][i], cache["vp"][i], lengths)
+        else:
+            S = cache["k"].shape[3]
+            nrep = cfg.num_attention_heads // cfg.num_key_value_heads
+            kf = jnp.repeat(cache["k"][i], nrep, axis=1)
+            vf = jnp.repeat(cache["v"][i], nrep, axis=1)
+            qg = q.reshape(B, -1, hd).astype(jnp.float32)
+            logits = jnp.einsum("bhd,bhsd->bhs", qg, kf.astype(jnp.float32))
+            logits = logits / jnp.sqrt(jnp.asarray(hd, jnp.float32))
+            valid = jnp.arange(S)[None, None, :] < lengths[:, None, None]
+            logits = jnp.where(valid, logits, -1e30)
+            p = jax.nn.softmax(logits, axis=-1)
+            attn = jnp.einsum("bhs,bhsd->bhd", p,
+                              vf.astype(jnp.float32)).astype(x.dtype)
+        attn = attn.reshape(B, 1, -1)
+        x = x + _attn_out(lp, attn, cfg, sc)
+        h2 = M.rms_norm(x, lp.get("post_norm"), cfg.rms_norm_eps)
+        x = x + _mlp(lp, h2, cfg, sc)
+
+    cache["length"] = cache["length"] + 1
+    x = M.rms_norm(x, params.get("final_norm"), cfg.rms_norm_eps)
+    logits = (x @ params["lm_head"].astype(x.dtype))[:, 0]
+    return logits, cache
+
+
+@partial(jax.jit, static_argnames=("sc", "slot"))
+def prefill_into_slot(params, cache, input_ids, sc: ServingConfig, slot: int):
+    """Prefill ONE sequence into cache slot `slot`, leaving other slots
+    untouched. input_ids: (1, S_prompt). Returns (logits, cache)."""
+    from rsq_tpu.serving.model import prefill as _prefill, init_cache as _ic
+    cfg = sc.cfg
+    s = input_ids.shape[1]
+    sub = {k: (v[:, slot:slot + 1] if k != "length" else v[slot:slot + 1])
+           for k, v in cache.items()}
+    sub["length"] = jnp.zeros((1,), jnp.int32)
+    logits, sub = _prefill(params, sub, input_ids, sc)
+    for k in cache:
+        if k == "length":
+            cache[k] = cache[k].at[slot].set(sub[k][0])
+        else:
+            cache[k] = cache[k].at[:, slot].set(sub[k][:, 0])
+    return logits[0], cache
+
+
+# ---------------------------------------------------------------------------
+# Engine
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class Request:
+    uid: int
+    prompt_ids: np.ndarray
+    max_new_tokens: int
+    output: list = dataclasses.field(default_factory=list)
+    done: bool = False
+
+
+class ServingEngine:
+    """Greedy continuous-batching engine over `num_slots` cache slots."""
+
+    def __init__(self, params, sc: ServingConfig, num_slots: int = 8,
+                 eos_token: int | None = None):
+        self.params = params
+        self.sc = sc
+        self.num_slots = num_slots
+        self.eos = eos_token
+        self.cache = init_cache(sc, num_slots)
+        self.slots: list[Request | None] = [None] * num_slots
+        self.queue: list[Request] = []
+        self.next_tok = np.zeros((num_slots,), np.int32)
+        self._uid = 0
+        # C++ scheduler tracks slot/page accounting when available
+        from rsq_tpu.serving.native import maybe_scheduler
+        self.sched = maybe_scheduler(num_slots, sc.max_seq)
+
+    def add_request(self, prompt_ids, max_new_tokens: int = 32) -> int:
+        self._uid += 1
+        req = Request(self._uid, np.asarray(prompt_ids, np.int32),
+                      max_new_tokens)
+        self.queue.append(req)
+        if self.sched is not None:
+            self.sched.enqueue(req.uid, len(req.prompt_ids),
+                               max_new_tokens)
+        return req.uid
+
+    def _admit(self):
+        for slot in range(self.num_slots):
+            if self.slots[slot] is None and self.queue:
+                req = self.queue.pop(0)
+                if self.sched is not None:
+                    ok = self.sched.admit(req.uid, slot)
+                    assert ok, "scheduler refused admission"
+                logits, self.cache = prefill_into_slot(
+                    self.params, self.cache,
+                    jnp.asarray(req.prompt_ids[None]), self.sc, slot)
+                tok = int(jnp.argmax(logits))
+                req.output.append(tok)
+                self.slots[slot] = req
+                self.next_tok[slot] = tok
+
+    def _retire(self, slot: int):
+        req = self.slots[slot]
+        req.done = True
+        self.slots[slot] = None
+        self.cache["length"] = self.cache["length"].at[slot].set(0)
+        if self.sched is not None:
+            self.sched.release(req.uid)
+
+    def step(self) -> list[Request]:
+        """Admit queued requests, run one joint decode step, retire finished
+        sequences. Returns newly finished requests."""
+        self._admit()
+        if all(s is None for s in self.slots):
+            return []
+        logits, self.cache = decode_step_varlen(
+            self.params, self.cache, jnp.asarray(self.next_tok), self.sc)
+        toks = np.asarray(jnp.argmax(logits, axis=-1))
+        finished = []
+        for slot, req in enumerate(self.slots):
+            if req is None:
+                continue
+            tok = int(toks[slot])
+            req.output.append(tok)
+            self.next_tok[slot] = tok
+            hit_eos = self.eos is not None and tok == self.eos
+            # +~1: the prefill already emitted the first token
+            if len(req.output) >= req.max_new_tokens or hit_eos or \
+                    int(self.cache["length"][slot]) + 1 >= self.sc.max_seq:
+                finished.append(req)
+                self._retire(slot)
+        return finished
+
+    def run_until_done(self, max_steps: int = 10_000) -> list[Request]:
+        done = []
+        for _ in range(max_steps):
+            done += self.step()
+            if not self.queue and all(s is None for s in self.slots):
+                break
+        return done
