@@ -26,27 +26,22 @@ import numpy as np
 sys.path.insert(0, "/root/repo")
 
 
-def _rand_bytes(rng, shape):
-    return np.frombuffer(rng.bytes(int(np.prod(shape))),
-                         dtype=np.uint8).reshape(shape)
-
-
 def build_int4_params(cfg, seed=0):
-    """Stacked (lax.scan) serving params. One layer of random weights is
-    generated on host and broadcast to all layers on device (weight CONTENT
-    is irrelevant to throughput; HBM still holds L physical copies)."""
+    """Stacked (lax.scan) serving params, generated ON DEVICE with
+    jax.random — host->device transfers through the environment's tunnel
+    are ~10 MB/s, so uploading GBs of random weights would dominate."""
+    import jax
     import jax.numpy as jnp
-    rng = np.random.default_rng(seed)
     L = cfg.num_layers
     d, f, v = cfg.hidden_size, cfg.intermediate_size, cfg.vocab_size
+    keys = iter(jax.random.split(jax.random.PRNGKey(seed), 32))
 
     def packed(k, n):
-        wp = jnp.asarray(_rand_bytes(rng, (k, n // 2)))
-        scale = (rng.uniform(0.5, 1.5, size=(n,)) /
-                 (7 * np.sqrt(k))).astype(np.float32)
-        return {"wp": jnp.broadcast_to(wp, (L, k, n // 2)).copy(),
-                "scale": jnp.broadcast_to(jnp.asarray(scale), (L, n)).copy(),
-                "b": None}
+        wp = jax.random.randint(next(keys), (L, k, n // 2), 0, 256,
+                                dtype=jnp.int32).astype(jnp.uint8)
+        scale = jax.random.uniform(next(keys), (L, n), minval=0.5,
+                                   maxval=1.5) / (7 * np.sqrt(k))
+        return {"wp": wp, "scale": scale.astype(jnp.float32), "b": None}
 
     stacked = {
         "input_norm": None, "post_norm": None,
@@ -54,23 +49,22 @@ def build_int4_params(cfg, seed=0):
         "v": packed(d, cfg.kv_dim), "o": packed(cfg.q_dim, d),
         "up": packed(d, f), "gate": packed(d, f), "down": packed(f, d),
     }
-    emb = (rng.standard_normal((v, d)) * 0.01).astype(np.float32)
-    return {"embed": jnp.asarray(emb, jnp.bfloat16), "final_norm": None,
-            "lm_head": jnp.asarray(emb.T.copy(), jnp.bfloat16),
+    emb = (jax.random.normal(next(keys), (v, d)) * 0.01).astype(jnp.bfloat16)
+    return {"embed": emb, "final_norm": None, "lm_head": emb.T,
             "layers_stacked": stacked}
 
 
 def build_bf16_params(cfg, seed=0):
+    import jax
     import jax.numpy as jnp
-    rng = np.random.default_rng(seed)
     L = cfg.num_layers
     d, f, v = cfg.hidden_size, cfg.intermediate_size, cfg.vocab_size
+    keys = iter(jax.random.split(jax.random.PRNGKey(seed), 32))
 
     def dense(k, n):
-        w = ((_rand_bytes(rng, (k, n)).astype(np.float32) - 127.5)
-             / (128 * np.sqrt(k))).astype(np.float32)
-        wj = jnp.asarray(w, jnp.bfloat16)
-        return {"w": jnp.broadcast_to(wj, (L, k, n)).copy(), "b": None}
+        w = jax.random.normal(next(keys), (L, k, n),
+                              dtype=jnp.bfloat16) * (0.1 / np.sqrt(k))
+        return {"w": w, "b": None}
 
     stacked = {
         "input_norm": None, "post_norm": None,
@@ -78,22 +72,41 @@ def build_bf16_params(cfg, seed=0):
         "v": dense(d, cfg.kv_dim), "o": dense(cfg.q_dim, d),
         "up": dense(d, f), "gate": dense(d, f), "down": dense(f, d),
     }
-    emb = (rng.standard_normal((v, d)) * 0.01).astype(np.float32)
-    return {"embed": jnp.asarray(emb, jnp.bfloat16), "final_norm": None,
-            "lm_head": jnp.asarray(emb.T.copy(), jnp.bfloat16),
+    emb = (jax.random.normal(next(keys), (v, d)) * 0.01).astype(jnp.bfloat16)
+    return {"embed": emb, "final_norm": None, "lm_head": emb.T,
             "layers_stacked": stacked}
 
 
-def measure_decode(params, sc, batch, n1=8, n2=40, repeats=3):
+def synthetic_cache(sc, batch, fill_len=512):
+    """Random pre-filled cache (no prefill program: remote compiles are
+    minutes each, and decode throughput does not depend on cache CONTENT)."""
+    import jax
+    import jax.numpy as jnp
+    from rsq_tpu.serving import model as S
+    cache = S.init_cache(sc, batch)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(1))
+    for name in cache:
+        if name == "length":
+            continue
+        arr = cache[name]
+        if arr.dtype == jnp.uint8:
+            cache[name] = jax.random.randint(
+                k1, arr.shape, 0, 256, dtype=jnp.int32).astype(jnp.uint8)
+        else:
+            cache[name] = jax.random.uniform(
+                k2, arr.shape, minval=0.01, maxval=0.1).astype(arr.dtype)
+    cache["length"] = jnp.full((batch,), fill_len, jnp.int32)
+    return cache
+
+
+def measure_decode(params, sc, batch, n1=8, n2=32, repeats=3):
     """Per-decode-step seconds via scan-length differencing."""
     import jax
     import jax.numpy as jnp
     from functools import partial
     from rsq_tpu.serving import model as S
 
-    cache = S.init_cache(sc, batch)
-    ids = jnp.zeros((batch, 16), jnp.int32)
-    _, cache = S.prefill_stacked(params, cache, ids, sc)
+    cache = synthetic_cache(sc, batch)
 
     @partial(jax.jit, static_argnames=("n",))
     def run(params, cache, tok, n):
@@ -122,10 +135,12 @@ def measure_decode(params, sc, batch, n1=8, n2=40, repeats=3):
 
 
 def main():
+    import os
     import jax
     from rsq_tpu.models.config import ModelConfig
     from rsq_tpu.serving import model as S
 
+    fast = os.environ.get("RSQ_BENCH_FAST") == "1"
     cfg32 = ModelConfig.llama3_8b()
     cfg16 = dataclasses.replace(cfg32, num_layers=16)
     batch = 8
@@ -143,6 +158,17 @@ def main():
     t32 = measure_decode(p32, sc32, batch)
     del p32
     gc.collect()
+
+    if fast:
+        toks_per_sec = batch / t32
+        print(json.dumps({
+            "metric": "decode_tokens_per_sec_per_chip_llama3_8b_w4a4kv4",
+            "value": round(toks_per_sec, 1), "unit": "tok/s",
+            "vs_baseline": None,
+            "detail": {"batch": batch, "max_seq": max_seq,
+                       "step_ms_int4_32L": round(t32 * 1e3, 3),
+                       "fast_mode": True}}))
+        return
 
     p16 = build_int4_params(cfg16)
     t16 = measure_decode(p16, sc16, batch)
