@@ -137,6 +137,14 @@ def measure_decode(params, sc, batch, n1=8, n2=32, repeats=3):
 def main():
     import os
     import jax
+    # persistent compilation cache: remote compiles in this environment take
+    # minutes; repeat bench runs should reuse executables
+    try:
+        os.makedirs("/root/repo/.jax_cache", exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     from rsq_tpu.models.config import ModelConfig
     from rsq_tpu.serving import model as S
 
