@@ -27,31 +27,38 @@ sys.path.insert(0, "/root/repo")
 
 
 def build_int4_params(cfg, seed=0):
-    """Stacked (lax.scan) serving params, generated ON DEVICE with
-    jax.random — host->device transfers through the environment's tunnel
-    are ~10 MB/s, so uploading GBs of random weights would dominate."""
+    """Stacked serving params generated ON DEVICE inside ONE jitted program
+    (remote compiles here cost minutes and host->device uploads run at
+    ~10 MB/s, so both the transfer-per-matrix and the compile-per-RNG-call
+    patterns are ruinous)."""
     import jax
     import jax.numpy as jnp
+    import functools
     L = cfg.num_layers
     d, f, v = cfg.hidden_size, cfg.intermediate_size, cfg.vocab_size
-    keys = iter(jax.random.split(jax.random.PRNGKey(seed), 32))
 
-    def packed(k, n):
-        wp = jax.random.randint(next(keys), (L, k, n // 2), 0, 256,
-                                dtype=jnp.int32).astype(jnp.uint8)
-        scale = jax.random.uniform(next(keys), (L, n), minval=0.5,
-                                   maxval=1.5) / (7 * np.sqrt(k))
-        return {"wp": wp, "scale": scale.astype(jnp.float32), "b": None}
+    @jax.jit
+    def gen(key):
+        ks = iter(jax.random.split(key, 32))
 
-    stacked = {
-        "input_norm": None, "post_norm": None,
-        "q": packed(d, cfg.q_dim), "k": packed(d, cfg.kv_dim),
-        "v": packed(d, cfg.kv_dim), "o": packed(cfg.q_dim, d),
-        "up": packed(d, f), "gate": packed(d, f), "down": packed(f, d),
-    }
-    emb = (jax.random.normal(next(keys), (v, d)) * 0.01).astype(jnp.bfloat16)
-    return {"embed": emb, "final_norm": None, "lm_head": emb.T,
-            "layers_stacked": stacked}
+        def packed(k, n):
+            wp = jax.random.randint(next(ks), (L, k, n // 2), 0, 256,
+                                    dtype=jnp.int32).astype(jnp.uint8)
+            scale = jax.random.uniform(next(ks), (L, n), minval=0.5,
+                                       maxval=1.5) / (7 * np.sqrt(k))
+            return {"wp": wp, "scale": scale.astype(jnp.float32), "b": None}
+
+        stacked = {
+            "input_norm": None, "post_norm": None,
+            "q": packed(d, cfg.q_dim), "k": packed(d, cfg.kv_dim),
+            "v": packed(d, cfg.kv_dim), "o": packed(cfg.q_dim, d),
+            "up": packed(d, f), "gate": packed(d, f), "down": packed(f, d),
+        }
+        emb = (jax.random.normal(next(ks), (v, d)) * 0.01).astype(jnp.bfloat16)
+        return {"embed": emb, "final_norm": None, "lm_head": emb.T,
+                "layers_stacked": stacked}
+
+    return gen(jax.random.PRNGKey(seed))
 
 
 def build_bf16_params(cfg, seed=0):
@@ -59,22 +66,27 @@ def build_bf16_params(cfg, seed=0):
     import jax.numpy as jnp
     L = cfg.num_layers
     d, f, v = cfg.hidden_size, cfg.intermediate_size, cfg.vocab_size
-    keys = iter(jax.random.split(jax.random.PRNGKey(seed), 32))
 
-    def dense(k, n):
-        w = jax.random.normal(next(keys), (L, k, n),
-                              dtype=jnp.bfloat16) * (0.1 / np.sqrt(k))
-        return {"w": w, "b": None}
+    @jax.jit
+    def gen(key):
+        ks = iter(jax.random.split(key, 32))
 
-    stacked = {
-        "input_norm": None, "post_norm": None,
-        "q": dense(d, cfg.q_dim), "k": dense(d, cfg.kv_dim),
-        "v": dense(d, cfg.kv_dim), "o": dense(cfg.q_dim, d),
-        "up": dense(d, f), "gate": dense(d, f), "down": dense(f, d),
-    }
-    emb = (jax.random.normal(next(keys), (v, d)) * 0.01).astype(jnp.bfloat16)
-    return {"embed": emb, "final_norm": None, "lm_head": emb.T,
-            "layers_stacked": stacked}
+        def dense(k, n):
+            w = jax.random.normal(next(ks), (L, k, n),
+                                  dtype=jnp.bfloat16) * (0.1 / np.sqrt(k))
+            return {"w": w, "b": None}
+
+        stacked = {
+            "input_norm": None, "post_norm": None,
+            "q": dense(d, cfg.q_dim), "k": dense(d, cfg.kv_dim),
+            "v": dense(d, cfg.kv_dim), "o": dense(cfg.q_dim, d),
+            "up": dense(d, f), "gate": dense(d, f), "down": dense(f, d),
+        }
+        emb = (jax.random.normal(next(ks), (v, d)) * 0.01).astype(jnp.bfloat16)
+        return {"embed": emb, "final_norm": None, "lm_head": emb.T,
+                "layers_stacked": stacked}
+
+    return gen(jax.random.PRNGKey(seed))
 
 
 def synthetic_cache(sc, batch, fill_len=512):
@@ -108,17 +120,19 @@ def measure_decode(params, sc, batch, n1=8, n2=32, repeats=3):
 
     cache = synthetic_cache(sc, batch)
 
-    @partial(jax.jit, static_argnames=("n",))
+    @jax.jit
     def run(params, cache, tok, n):
-        def step(carry, _):
+        # DYNAMIC trip count: one compiled program serves every n (each
+        # additional program costs minutes of remote compile here)
+        def body(i, carry):
             cache, tok = carry
             logits, cache = S.decode_step_stacked(params, cache, tok, sc)
-            return (cache, jnp.argmax(logits, axis=-1)), None
-        (cache, tok), _ = jax.lax.scan(step, (cache, tok), None, length=n)
+            return (cache, jnp.argmax(logits, axis=-1))
+        cache2, tok = jax.lax.fori_loop(0, n, body, (cache, tok))
         return tok
 
     tok0 = jnp.zeros((batch,), jnp.int32)
-    # warm both compiles
+    # warm the single compile
     np.asarray(run(params, cache, tok0, n1))
     np.asarray(run(params, cache, tok0, n2))
     best = None
@@ -212,5 +226,31 @@ def main():
     }))
 
 
+def _main_guarded():
+    """The remote compile service in this environment can wedge for long
+    periods; emit a well-formed JSON line either way."""
+    import signal
+
+    def on_timeout(sig, frame):
+        print(json.dumps({
+            "metric": "decode_tokens_per_sec_per_chip_llama3_8b_w4a4kv4",
+            "value": None, "unit": "tok/s", "vs_baseline": None,
+            "detail": {"error": "timeout waiting for TPU compile service"},
+        }), flush=True)
+        os_exit = getattr(__import__("os"), "_exit")
+        os_exit(0)
+
+    signal.signal(signal.SIGALRM, on_timeout)
+    signal.alarm(int(__import__("os").environ.get("RSQ_BENCH_TIMEOUT", "3000")))
+    try:
+        main()
+    except Exception as e:
+        print(json.dumps({
+            "metric": "decode_tokens_per_sec_per_chip_llama3_8b_w4a4kv4",
+            "value": None, "unit": "tok/s", "vs_baseline": None,
+            "detail": {"error": repr(e)[:300]},
+        }), flush=True)
+
+
 if __name__ == "__main__":
-    main()
+    _main_guarded()
