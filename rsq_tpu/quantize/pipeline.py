@@ -118,11 +118,16 @@ def group_input(lp, x, cos, sin, cfg: ModelConfig, policy: QuantPolicy,
 
 @partial(jax.jit, static_argnames=("cfg", "policy", "group"))
 def _hessian_accumulate(H, lp, x, w, cos, sin, cfg, policy, group, mask):
-    """One sample's Hessian contribution for `group`, fused with the layer
-    sub-forward. x: (1, L, d); w: (L,) normalized token weights."""
-    inp = group_input(lp, x, cos, sin, cfg, policy, group, mask)[0]
-    inp = inp.astype(jnp.float32) * jnp.sqrt(w)[:, None]
-    return H + jnp.einsum("ld,le->de", inp, inp,
+    """A chunk of samples' Hessian contribution for `group`, fused with the
+    layer sub-forward. x: (C, L, d); w: (C, L) normalized token weights
+    (zero rows = padding samples contribute nothing)."""
+    if x.ndim == 2:
+        x = x[None]
+    if w.ndim == 1:
+        w = w[None]
+    inp = group_input(lp, x, cos, sin, cfg, policy, group, mask)
+    inp = inp.astype(jnp.float32) * jnp.sqrt(w)[:, :, None]
+    return H + jnp.einsum("cld,cle->de", inp, inp,
                           preferred_element_type=jnp.float32)
 
 
@@ -211,15 +216,23 @@ def quantize_model(params, cfg: ModelConfig, rsq: RSQConfig, calib_ids,
             if not names:
                 continue
             use_w = batch_w is not None and rsq.weighting.applies_to(group)
+            if use_w:
+                wts = batch_w / batch_w.mean(axis=1, keepdims=True)
+            else:
+                wts = np.ones((n, L), np.float32)
             d_in = lp[group[0]]["w"].shape[0]
             H = jnp.zeros((d_in, d_in), jnp.float32)
-            for j in range(n):
-                if use_w:
-                    wj = batch_w[j] / batch_w[j].mean()
-                else:
-                    wj = np.ones((L,), np.float32)
+            # chunk samples: fewer dispatches, batched MXU einsums; padding
+            # samples carry zero weights so they contribute nothing
+            chunk = min(8, n)
+            pad = (-n) % chunk
+            inps_p = np.concatenate(
+                [inps, np.zeros((pad, *inps.shape[1:]), inps.dtype)])                 if pad else inps
+            wts_p = np.concatenate([wts, np.zeros((pad, L), np.float32)])                 if pad else wts
+            for j in range(0, n + pad, chunk):
                 H = _hessian_accumulate(
-                    H, lp, jnp.asarray(inps[j:j + 1]), jnp.asarray(wj),
+                    H, lp, jnp.asarray(inps_p[j:j + chunk]),
+                    jnp.asarray(wts_p[j:j + chunk]),
                     cos, sin, cfg, policy, group, mask)
             H = H * (2.0 / n)
 
@@ -244,10 +257,13 @@ def quantize_model(params, cfg: ModelConfig, rsq: RSQConfig, calib_ids,
             del H
 
         # recompute this layer's outputs with quantized weights -> next inputs
-        for j in range(n):
-            inps[j] = np.asarray(_layer_out(
-                lp, jnp.asarray(inps[j:j + 1]), cos, sin, cfg, policy,
-                mask)[0])
+        chunk = min(8, n)
+        j = 0
+        while j < n:
+            c = min(chunk, n - j)
+            inps[j:j + c] = np.asarray(_layer_out(
+                lp, jnp.asarray(inps[j:j + c]), cos, sin, cfg, policy, mask))
+            j += c
         new_layers.append(lp)
         logger.info("layer %d quantized in %.1fs", i,
                     time.perf_counter() - t_layer)
