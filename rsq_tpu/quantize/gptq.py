@@ -151,14 +151,20 @@ def _gptq_solve(W, U, scale0, zero0, wq: WeightQuantConfig,
         W1 = jax.lax.dynamic_slice(W, (0, i1), (rows, blocksize))
         U1 = jax.lax.dynamic_slice(U, (i1, i1), (blocksize, blocksize))
 
+        W1_start = W1  # block-start values (cross-block updates applied)
+
         def col_step(i, st):
             W1, Q1, Err1, L1, scale, zero = st
             w = jax.lax.dynamic_slice(W1, (0, i), (rows, 1))[:, 0]
             d = U1[i, i]
             if groupsize > 0:
                 def refresh(sz):
-                    # re-estimate on the current residual group
-                    grp = jax.lax.dynamic_slice(W1, (0, i), (rows, groupsize))
+                    # the reference re-estimates group params from W as of
+                    # BLOCK START — its full W receives in-block updates only
+                    # at block end (fasterquant: find_params(W[...]) at :204,
+                    # W1-only updates at :216)
+                    grp = jax.lax.dynamic_slice(W1_start, (0, i),
+                                                (rows, groupsize))
                     s, z = weight_quant_params(grp, wq)
                     return s[:, 0], z[:, 0]
                 scale, zero = jax.lax.cond(
