@@ -56,6 +56,16 @@ def serving_linear(x, p, sc: ServingConfig, tp_axis: str | None = None):
     before quantizing the local shard."""
     lead = x.shape[:-1]
     x2 = x.reshape(-1, x.shape[-1])
+    if "codes" in p:
+        # E8P 2-bit: grid-gather dequant fused into the matmul by XLA; the
+        # codes read at 2 bits/weight (ldlq_utils E8PQuantizedWeights
+        # counterpart)
+        from rsq_tpu.quantize.ldlq import e8p_dequantize
+        w = e8p_dequantize(p["codes"], p["e8p_scale"])  # (out, in)
+        y = x2 @ w.T.astype(x2.dtype)
+        if p.get("b") is not None:
+            y = y + p["b"].astype(y.dtype)
+        return y.reshape(*lead, y.shape[-1])
     if "wp" in p:
         # row-parallel shards compute partials in f32 so the later psum is
         # order-insensitive and matches the single-device accumulation

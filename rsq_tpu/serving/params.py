@@ -41,11 +41,23 @@ def unpack_linear(sp):
     return codes * sp["scale"][None, :]
 
 
+def pack_linear_e8p(p, qinfo):
+    """2-bit E8P serving params: 16-bit codes per 8 weights + a per-tensor
+    scale (the reference serves E8P through quiptools_cuda; here dequant is
+    a grid gather fused into the matmul by XLA)."""
+    return {
+        "codes": jnp.asarray(qinfo["codes"], jnp.int32),
+        "e8p_scale": jnp.float32(qinfo["scale"]),
+        "b": None if p.get("b") is None else jnp.asarray(p["b"], jnp.bfloat16),
+    }
+
+
 def to_serving_params(params, quantizers, cfg: ModelConfig,
                       dtype=jnp.bfloat16):
     """Convert a quantized fake-quant model pytree + quantizer info from
     quantize_model into the packed serving pytree. Layers/tensors without
-    4-bit quantizer info stay dense."""
+    4-bit quantizer info stay dense; E8P (2-bit) layers keep codebook
+    codes."""
     out = {
         "embed": jnp.asarray(params["embed"], dtype),
         "final_norm": (None if params["final_norm"] is None
@@ -60,7 +72,9 @@ def to_serving_params(params, quantizers, cfg: ModelConfig,
                          else jnp.asarray(lp[name], dtype))
         for name in QUANT_NAMES:
             qinfo = quantizers.get(f"layers.{i}.{name}")
-            if qinfo is not None and qinfo["bits"] == 4:
+            if qinfo is not None and "codes" in qinfo:
+                slp[name] = pack_linear_e8p(lp[name], qinfo)
+            elif qinfo is not None and qinfo["bits"] == 4:
                 slp[name] = pack_linear(lp[name], qinfo["scale"])
             else:
                 slp[name] = {"w": jnp.asarray(lp[name]["w"], dtype),

@@ -116,3 +116,28 @@ def test_generate_runs(quantized_tiny):
     toks = S.generate(sparams, ids, sc, max_new_tokens=5)
     assert toks.shape == (2, 5)
     assert (np.asarray(toks) >= 0).all()
+
+
+def test_e8p_serving_linear():
+    """2-bit E8P serving path: quantize one linear with LDLQ, serve it."""
+    import jax
+    from rsq_tpu.quantize.ldlq import ldlq_quantize
+    from rsq_tpu.serving.params import pack_linear_e8p
+    from rsq_tpu.serving.model import serving_linear, ServingConfig
+    from rsq_tpu.models.config import ModelConfig
+
+    rng = np.random.default_rng(7)
+    W = jnp.asarray((rng.standard_normal((16, 32)) * 0.1).astype(np.float32))
+    A = rng.standard_normal((64, 16)).astype(np.float32)
+    H = jnp.asarray((2.0 / 64) * A.T @ A + 0.05 * np.eye(16, dtype=np.float32))
+    # quantize W^T (out=32, in=16) in GPTQ convention
+    Q, info = ldlq_quantize(W.T, H, quip_tune_iters=1)
+    sp = pack_linear_e8p({"w": W, "b": None},
+                         {"codes": info["codes"], "scale": info["scale"]})
+    sc = ServingConfig(model=ModelConfig.tiny(), a4=False, kv_int4=False)
+    x = jnp.asarray(rng.standard_normal((4, 16)).astype(np.float32))
+    y = serving_linear(x, sp, sc)
+    want = x @ Q.T  # dequantized weights, (in, out)
+    np.testing.assert_allclose(np.asarray(y, np.float32),
+                               np.asarray(want, np.float32),
+                               rtol=1e-3, atol=1e-3)
