@@ -150,10 +150,78 @@ def causal_mask(seq_len: int, dtype=jnp.float32):
     return jnp.where(j <= i, 0.0, jnp.finfo(dtype).min).astype(dtype)
 
 
-def attention(q, k, v, mask):
+def attention_dense(q, k, v, mask):
     probs = attention_scores(q, k, mask)
     return jnp.einsum("bhqk,bkhd->bqhd", probs, v,
                       preferred_element_type=jnp.float32).astype(v.dtype)
+
+
+def attention_chunked(q, k, v, q_chunk: int = 512, k_chunk: int = 1024):
+    """Flash-style causal attention without materializing (H, L, L):
+    lax.scan over query chunks, online-softmax fori over key chunks.
+    Equivalent to attention_dense with a causal mask; used automatically
+    for long sequences (calibration seqlen 4096 / eval 8192 would need
+    gigabytes of score matrices otherwise)."""
+    b, s, h, d = q.shape
+    qc = min(q_chunk, s)
+    kc = min(k_chunk, s)
+    pad_q = (-s) % qc
+    pad_k = (-s) % kc
+    sm = 1.0 / math.sqrt(d)
+    qp = jnp.pad(q, ((0, 0), (0, pad_q), (0, 0), (0, 0)))
+    kp_ = jnp.pad(k, ((0, 0), (0, pad_k), (0, 0), (0, 0)))
+    vp_ = jnp.pad(v, ((0, 0), (0, pad_k), (0, 0), (0, 0)))
+    nq = (s + pad_q) // qc
+    nk = (s + pad_k) // kc
+    qb = jnp.moveaxis(qp.reshape(b, nq, qc, h, d), 1, 0)  # (nq, b, qc, h, d)
+
+    def q_block(carry, inp):
+        qi, qblk = inp
+        qf = qblk.astype(jnp.float32) * sm
+
+        def k_block(j, st):
+            m, l, acc = st
+            kblk = jax.lax.dynamic_slice(
+                kp_, (0, j * kc, 0, 0), (b, kc, h, d)).astype(jnp.float32)
+            vblk = jax.lax.dynamic_slice(
+                vp_, (0, j * kc, 0, 0), (b, kc, h, d)).astype(jnp.float32)
+            logits = jnp.einsum("bqhd,bkhd->bhqk", qf, kblk)
+            qpos = qi * qc + jnp.arange(qc)[None, None, :, None]
+            kpos = j * kc + jnp.arange(kc)[None, None, None, :]
+            logits = jnp.where((kpos <= qpos) & (kpos < s), logits,
+                               jnp.finfo(jnp.float32).min)
+            m_new = jnp.maximum(m, jnp.max(logits, axis=-1))
+            p = jnp.exp(logits - m_new[..., None])
+            alpha = jnp.exp(m - m_new)
+            l_new = alpha * l + jnp.sum(p, axis=-1)
+            acc_new = (acc * alpha[..., None]
+                       + jnp.einsum("bhqk,bkhd->bhqd", p, vblk))
+            return m_new, l_new, acc_new
+
+        m0 = jnp.full((b, h, qc), -jnp.inf, jnp.float32)
+        l0 = jnp.zeros((b, h, qc), jnp.float32)
+        a0 = jnp.zeros((b, h, qc, d), jnp.float32)
+        # only key blocks up to this query block matter (causal)
+        m1, l1, a1 = jax.lax.fori_loop(0, jnp.minimum(
+            (qi * qc + qc + kc - 1) // kc, nk), k_block, (m0, l0, a0))
+        out = a1 / jnp.maximum(l1[..., None], 1e-30)
+        return carry, jnp.moveaxis(out, 1, 2)  # (b, qc, h, d)
+
+    _, outs = jax.lax.scan(q_block, None, (jnp.arange(nq), qb))
+    out = jnp.moveaxis(outs, 0, 1).reshape(b, nq * qc, h, d)
+    return out[:, :s].astype(v.dtype)
+
+
+def attention(q, k, v, mask=None, chunk_threshold: int = 2048):
+    """Dispatch: mask=None means plain causal — flash-chunked for long
+    sequences, dense otherwise. An explicit mask (custom calibration
+    attention) always takes the dense path."""
+    s = q.shape[1]
+    if mask is not None:
+        return attention_dense(q, k, v, mask)
+    if s < chunk_threshold:
+        return attention_dense(q, k, v, causal_mask(s))
+    return attention_chunked(q, k, v)
 
 
 # ---------------------------------------------------------------------------
@@ -185,11 +253,10 @@ def attn_block(lp, h, cos, sin, cfg: ModelConfig, policy: QuantPolicy,
     k = repeat_kv(k, nq // nkv)
     v = repeat_kv(v, nq // nkv)
 
-    if mask is None:
-        mask = causal_mask(s)
-
     probs = None
     if return_probs:
+        if mask is None:
+            mask = causal_mask(s)
         probs = attention_scores(q, k, mask)
         attn = jnp.einsum("bhqk,bkhd->bqhd", probs, v,
                           preferred_element_type=jnp.float32).astype(v.dtype)
@@ -246,9 +313,8 @@ def forward(params, input_ids, cfg: ModelConfig, policy: QuantPolicy):
     b, s = input_ids.shape
     x = embed(params, input_ids)
     cos, sin = rope_tables(cfg, jnp.arange(s))
-    mask = causal_mask(s)
     for lp in params["layers"]:
-        x = layer_forward(lp, x, cos, sin, cfg, policy, mask)
+        x = layer_forward(lp, x, cos, sin, cfg, policy, mask=None)
     return head(params, x, cfg)
 
 

@@ -82,8 +82,6 @@ def group_input(lp, x, cos, sin, cfg: ModelConfig, policy: QuantPolicy,
     main.py's ordering (a-bit config happens after gptq, main.py:107-138).
     """
     from rsq_tpu.core.hadamard import head_mixing_hadamard, matmul_hadU
-    if mask is None:
-        mask = M.causal_mask(x.shape[1])
     h = M.rms_norm(x, lp.get("input_norm"), cfg.rms_norm_eps)
     if group == ("q", "k", "v"):
         return h
@@ -170,8 +168,10 @@ def quantize_model(params, cfg: ModelConfig, rsq: RSQConfig, calib_ids,
 
     # calibration attention mask: custom attention, when configured, stays
     # enabled for the Hessian AND post-quant output passes (the reference
-    # disables it only after the layer is done, gptq_utils.py:509-517,666-670)
-    mask = M.causal_mask(L)
+    # disables it only after the layer is done, gptq_utils.py:509-517,666-670).
+    # None = plain causal -> the model picks flash-chunked attention for
+    # long sequences instead of materializing (H, L, L).
+    mask = None
     if rsq.weighting is not None and rsq.weighting.custom_attn_type not in (
             None, "topk"):
         from rsq_tpu.quantize.weighting import calibration_mask

@@ -248,7 +248,7 @@ def prefill(params, cache, input_ids, sc: ServingConfig):
     b, s = input_ids.shape
     x = params["embed"][input_ids].astype(jnp.bfloat16)
     cos, sin = M.rope_tables(cfg, jnp.arange(s))
-    mask = M.causal_mask(s)
+    mask = None  # plain causal -> flash-chunked attention for long prompts
     for i, lp in enumerate(params["layers"]):
         x, cache = prefill_layer(lp, x, cache, i, cos, sin, mask, cfg, sc)
     cache["length"] = cache["length"] + s
@@ -388,7 +388,7 @@ def prefill_stacked(params, cache, input_ids, sc: ServingConfig):
     b, s = input_ids.shape
     x = params["embed"][input_ids].astype(jnp.bfloat16)
     cos, sin = M.rope_tables(cfg, jnp.arange(s))
-    mask = M.causal_mask(s)
+    mask = None
     per_layer, length = _cache_slices(cache)
 
     def step(x, xs):

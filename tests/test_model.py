@@ -109,3 +109,28 @@ def test_attention_probs_rows_sum_to_one():
                                return_probs=True)
     sums = np.asarray(jnp.sum(probs, axis=-1))
     np.testing.assert_allclose(sums, np.ones_like(sums), rtol=1e-5)
+
+
+def test_chunked_attention_matches_dense():
+    rng = np.random.default_rng(20)
+    b, s, h, d = 2, 300, 4, 32
+    q = jnp.asarray(rng.standard_normal((b, s, h, d)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((b, s, h, d)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((b, s, h, d)).astype(np.float32))
+    dense = M.attention_dense(q, k, v, M.causal_mask(s))
+    chunk = M.attention_chunked(q, k, v, q_chunk=64, k_chunk=96)
+    np.testing.assert_allclose(np.asarray(chunk), np.asarray(dense),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_attention_dispatch_long_seq():
+    # above the threshold the chunked path engages and matches
+    rng = np.random.default_rng(21)
+    b, s, h, d = 1, 2064, 2, 16
+    q = jnp.asarray(rng.standard_normal((b, s, h, d)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((b, s, h, d)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((b, s, h, d)).astype(np.float32))
+    auto = M.attention(q, k, v, None)
+    dense = M.attention_dense(q, k, v, M.causal_mask(s))
+    np.testing.assert_allclose(np.asarray(auto), np.asarray(dense),
+                               rtol=3e-4, atol=3e-4)
