@@ -187,6 +187,32 @@ def run_litm(generate_fn, num_docs: int = 30, gold_position: int = 0,
 
 
 # ---------------------------------------------------------------------------
+# Generative exact-match (gsm8k-style "flexible extract")
+# ---------------------------------------------------------------------------
+
+def extract_final_number(text: str) -> str | None:
+    """Last number in the response (lm-eval's flexible-extract filter used
+    by gsm8k_cot_llama; additional_short_eval.sh:39-77)."""
+    nums = re.findall(r"-?\$?[\d,]*\.?\d+", text.replace(",", ""))
+    if not nums:
+        return None
+    return nums[-1].lstrip("$")
+
+
+def run_generative_exact_match(generate_fn, rows, max_new_tokens: int = 256,
+                               extract=extract_final_number) -> dict:
+    """rows: [{"prompt", "answer"}]. Accuracy by extracted-answer equality
+    (exact_match,flexible-extract)."""
+    correct = 0
+    for r in rows:
+        resp = generate_fn(r["prompt"], max_new_tokens)
+        pred = extract(resp)
+        correct += int(pred is not None
+                       and str(pred) == str(r["answer"]).strip())
+    return {"exact_match": correct / max(len(rows), 1), "n": len(rows)}
+
+
+# ---------------------------------------------------------------------------
 # LEval exam_eval + chrF
 # ---------------------------------------------------------------------------
 

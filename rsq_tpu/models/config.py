@@ -87,6 +87,54 @@ class ModelConfig:
             max_position_embeddings=32768, family="qwen2")
 
     @staticmethod
+    def llama3_70b() -> "ModelConfig":
+        return ModelConfig(
+            vocab_size=128256, hidden_size=8192, intermediate_size=28672,
+            num_layers=80, num_attention_heads=64, num_key_value_heads=8,
+            rope_theta=500000.0, rms_norm_eps=1e-5,
+            max_position_embeddings=8192, family="llama")
+
+    @staticmethod
+    def llama2_13b() -> "ModelConfig":
+        return ModelConfig(
+            vocab_size=32000, hidden_size=5120, intermediate_size=13824,
+            num_layers=40, num_attention_heads=40, num_key_value_heads=40,
+            rope_theta=10000.0, rms_norm_eps=1e-5,
+            max_position_embeddings=4096, family="llama")
+
+    @staticmethod
+    def llama2_70b() -> "ModelConfig":
+        return ModelConfig(
+            vocab_size=32000, hidden_size=8192, intermediate_size=28672,
+            num_layers=80, num_attention_heads=64, num_key_value_heads=8,
+            rope_theta=10000.0, rms_norm_eps=1e-5,
+            max_position_embeddings=4096, family="llama")
+
+    @staticmethod
+    def qwen25_14b() -> "ModelConfig":
+        return ModelConfig(
+            vocab_size=152064, hidden_size=5120, intermediate_size=13824,
+            num_layers=48, num_attention_heads=40, num_key_value_heads=8,
+            rope_theta=1000000.0, rms_norm_eps=1e-6, attention_bias=True,
+            max_position_embeddings=32768, family="qwen2")
+
+    @staticmethod
+    def qwen25_32b() -> "ModelConfig":
+        return ModelConfig(
+            vocab_size=152064, hidden_size=5120, intermediate_size=27648,
+            num_layers=64, num_attention_heads=40, num_key_value_heads=8,
+            rope_theta=1000000.0, rms_norm_eps=1e-6, attention_bias=True,
+            max_position_embeddings=32768, family="qwen2")
+
+    @staticmethod
+    def mistral_7b() -> "ModelConfig":
+        return ModelConfig(
+            vocab_size=32768, hidden_size=4096, intermediate_size=14336,
+            num_layers=32, num_attention_heads=32, num_key_value_heads=8,
+            rope_theta=1000000.0, rms_norm_eps=1e-5,
+            max_position_embeddings=32768, family="mistral")
+
+    @staticmethod
     def mistral_nemo() -> "ModelConfig":
         return ModelConfig(
             vocab_size=131072, hidden_size=5120, intermediate_size=14336,

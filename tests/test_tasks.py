@@ -96,3 +96,21 @@ def test_score_fn_on_tiny_model():
     assert np.isfinite(s1) and np.isfinite(s2)
     assert s2 < s1  # adding a token can only lower total logprob... ->
     # (strictly: logprob of 2 tokens <= logprob of 1st token alone)
+
+
+def test_extract_final_number():
+    assert T.extract_final_number("the answer is 42.") == "42"
+    assert T.extract_final_number("costs $1,234.50 total") == "1234.50"
+    assert T.extract_final_number("-7 then 12") == "12"
+    assert T.extract_final_number("no digits") is None
+
+
+def test_generative_exact_match():
+    rows = [{"prompt": "2+2?", "answer": "4"},
+            {"prompt": "3+3?", "answer": "6"}]
+
+    def model(p, m):
+        return "thinking... the answer is 4" if "2+2" in p else "5"
+
+    res = T.run_generative_exact_match(model, rows)
+    assert res["exact_match"] == 0.5
