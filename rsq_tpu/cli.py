@@ -53,7 +53,8 @@ def _build_parser():
     q.add_argument("--nsamples", type=int, default=128)
     q.add_argument("--train-seqlen", type=int, default=2048)
     q.add_argument("--cal-dataset", default="wikitext2",
-                   choices=["wikitext2", "ptb", "c4", "synthetic"])
+                   choices=["wikitext2", "ptb", "c4", "synthetic",
+                            "retrieval", "redpajama"])
     q.add_argument("--expand-factor", type=int, default=1)
     # weighting
     q.add_argument("--weighting", default=None,

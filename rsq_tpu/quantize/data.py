@@ -50,6 +50,80 @@ def _tokenizer(model_name: str):
     return AutoTokenizer.from_pretrained(model_name, use_fast=True)
 
 
+def _hash_tokenize(text: str, vocab_size: int) -> np.ndarray:
+    """Deterministic whitespace tokenizer for hermetic runs (no HF tokenizer
+    download): each word hashes to a stable id in [0, vocab)."""
+    import zlib
+    ids = [zlib.crc32(w.encode()) % vocab_size for w in text.split()]
+    return np.asarray(ids, dtype=np.int32)
+
+
+def synthetic_retrieval_prompts(nsamples: int, seed: int = 0,
+                                num_lines: int = 300) -> list[str]:
+    """LongEval-lines-style long prompts generated offline.
+
+    The reference's `retrieval` calibration set is a pre-built jsonl of
+    synthetic retrieval testcases (data_utils.py:52-75, hard-coded local
+    path); here the cases are synthesized on the fly so the loader is
+    hermetic."""
+    from rsq_tpu.eval.tasks import generate_lines_case
+    rng = np.random.default_rng(seed)
+    return [generate_lines_case(num_lines, rng)["prompt"]
+            for _ in range(nsamples)]
+
+
+def get_retrieval(nsamples: int, seed: int, seqlen: int, model: str = "",
+                  vocab_size: int = 32000, jsonl_path: str | None = None,
+                  num_lines: int = 300) -> np.ndarray:
+    """Synthetic-retrieval calibration crops (data_utils.get_retrieval
+    :52-75): one random seqlen-crop per prompt, prompts cycled if nsamples
+    exceeds the case count. jsonl_path: optional pre-built testcase file in
+    the reference's format ({"prompt": ...} per line)."""
+    import json
+    if jsonl_path is not None:
+        with open(jsonl_path) as f:
+            prompts = [json.loads(line)["prompt"] for line in f]
+    else:
+        prompts = synthetic_retrieval_prompts(
+            max(nsamples, 1), seed=seed, num_lines=num_lines)
+    tok = _tokenizer(model) if model else None
+    rng = np.random.default_rng(seed)
+    out = []
+    for idx in range(nsamples):
+        p = prompts[idx % len(prompts)]
+        ids = (np.asarray(tok(p, return_tensors="np").input_ids[0],
+                          dtype=np.int32) if tok is not None
+               else _hash_tokenize(p, vocab_size))
+        if ids.size <= seqlen:           # pad short cases by tiling the prompt
+            reps = seqlen // ids.size + 2
+            ids = np.tile(ids, reps)
+        i = rng.integers(0, ids.size - seqlen)
+        out.append(ids[i: i + seqlen])
+    return np.stack(out).astype(np.int32)
+
+
+def get_red_pajama(nsamples: int, seed: int, seqlen: int, model: str,
+                   n_docs: int = 5000) -> np.ndarray:
+    """RedPajama-1T-Sample calibration crops (data_utils.get_red_pajama
+    :21-49): rejection-sample documents longer than seqlen, one random crop
+    each. Needs network / dataset cache."""
+    import datasets
+    tok = _tokenizer(model)
+    ds = datasets.load_dataset("togethercomputer/RedPajama-Data-1T-Sample",
+                               split="train")
+    rng = np.random.default_rng(seed)
+    out = []
+    while len(out) < nsamples:
+        i = int(rng.integers(0, min(len(ds), n_docs)))
+        ids = np.asarray(tok(ds[i]["text"], return_tensors="np").input_ids[0],
+                         dtype=np.int32)
+        if ids.size <= seqlen:
+            continue
+        j = int(rng.integers(0, ids.size - seqlen))
+        out.append(ids[j: j + seqlen])
+    return np.stack(out)
+
+
 def load_text_dataset(name: str, split: str):
     import datasets
     if name == "wikitext2":
@@ -81,6 +155,13 @@ def get_loaders(name: str, *, nsamples: int = 128, seed: int = 0,
         if eval_mode:
             return stream
         return sample_sequences(stream, nsamples, seqlen, seed=seed)
+    if "retrieval" in name:
+        assert not eval_mode, "retrieval is a calibration-only set"
+        return get_retrieval(nsamples, seed, seqlen, model=model,
+                             vocab_size=vocab_size)
+    if "pajama" in name:
+        assert not eval_mode, "Only train set is supported in RedPajama"
+        return get_red_pajama(nsamples, seed, seqlen, model=model)
 
     tok = _tokenizer(model)
     text = load_text_dataset(name, "test" if eval_mode and name != "c4"

@@ -114,3 +114,26 @@ def test_expand_dataset():
     out = D.expand_dataset(seqs, 4)
     assert out.shape == (4, 8)
     np.testing.assert_array_equal(out[1], np.roll(seqs[0], 2))
+
+
+def test_retrieval_loader_hermetic():
+    # offline synthetic-retrieval calibration (reference reads a pre-built
+    # jsonl; ours synthesizes LongEval-lines prompts + hash tokenizer)
+    seqs = D.get_loaders("retrieval", nsamples=3, seqlen=64, vocab_size=999)
+    assert seqs.shape == (3, 64)
+    assert seqs.dtype == np.int32
+    assert (seqs >= 0).all() and (seqs < 999).all()
+    # deterministic under the same seed
+    seqs2 = D.get_loaders("retrieval", nsamples=3, seqlen=64, vocab_size=999)
+    np.testing.assert_array_equal(seqs, seqs2)
+
+
+def test_retrieval_loader_jsonl(tmp_path):
+    import json
+    p = tmp_path / "cases.jsonl"
+    with open(p, "w") as f:
+        for i in range(2):
+            f.write(json.dumps({"prompt": f"line {i} " * 200}) + "\n")
+    seqs = D.get_retrieval(4, seed=0, seqlen=32, vocab_size=100,
+                           jsonl_path=str(p))
+    assert seqs.shape == (4, 32)
