@@ -106,18 +106,21 @@ def _build_parser():
 
 def _load_model(name: str, seed: int):
     import jax
-    from rsq_tpu.models import llama as M
+    from rsq_tpu.models import family
     from rsq_tpu.models.config import ModelConfig
 
     named = {"llama3-8b": ModelConfig.llama3_8b,
              "llama2-7b": ModelConfig.llama2_7b,
              "qwen25-7b": ModelConfig.qwen25_7b,
              "mistral-nemo": ModelConfig.mistral_nemo,
-             "tiny": ModelConfig.tiny}
+             "opt-125m": ModelConfig.opt_125m,
+             "tiny": ModelConfig.tiny,
+             "tiny-opt": ModelConfig.tiny_opt}
     if name in named:
         cfg = named[name]()
-        params = M.init_params(cfg, jax.random.PRNGKey(seed),
-                               scale=0.05 if name == "tiny" else 0.02)
+        params = family.init_params(cfg, jax.random.PRNGKey(seed),
+                                    scale=0.05 if name.startswith("tiny")
+                                    else 0.02)
         return cfg, params, None
     from rsq_tpu.models.hf import load_hf
     cfg, params = load_hf(name)

@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from rsq_tpu.models import llama as M
+from rsq_tpu.models import family as M
 from rsq_tpu.models.config import ModelConfig
 from rsq_tpu.models.policy import QuantPolicy
 
@@ -77,9 +77,11 @@ def ppl_streamed(params, cfg: ModelConfig, policy: QuantPolicy,
     ids = stream[: nsamples * val_seqlen].reshape(nsamples, val_seqlen)
     batches = [jnp.asarray(ids[s: s + bsz]) for s in range(0, nsamples, bsz)]
 
-    cos, sin = M.rope_tables(cfg, jnp.arange(val_seqlen))
-    mask = M.causal_mask(val_seqlen)
-    acts = [np.asarray(jax.jit(M.embed)(params, b)) for b in batches]
+    cos, sin = M.pos_tables(cfg, jnp.arange(val_seqlen))
+    from rsq_tpu.models import llama
+    mask = llama.causal_mask(val_seqlen)
+    emb = jax.jit(M.embed, static_argnames=("cfg",))
+    acts = [np.asarray(emb(params, b, cfg=cfg)) for b in batches]
     for i, lp in enumerate(params["layers"]):
         for j in range(len(batches)):
             acts[j] = np.asarray(_layer_batch(

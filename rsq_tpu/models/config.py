@@ -36,7 +36,7 @@ class ModelConfig:
     attention_bias: bool = False          # True for Qwen2.5
     tie_word_embeddings: bool = False
     max_position_embeddings: int = 8192
-    family: str = "llama"                 # llama | qwen2 | mistral
+    family: str = "llama"                 # llama | qwen2 | mistral | opt
 
     @property
     def head_dim_(self) -> int:
@@ -125,6 +125,35 @@ class ModelConfig:
             num_layers=64, num_attention_heads=40, num_key_value_heads=8,
             rope_theta=1000000.0, rms_norm_eps=1e-6, attention_bias=True,
             max_position_embeddings=32768, family="qwen2")
+
+    @staticmethod
+    def opt_125m() -> "ModelConfig":
+        """The reference's debug model (fake_quant/utils.py:279-280). OPT:
+        learned positions, LayerNorm with bias, biased q/k/v/o, ReLU
+        fc1/fc2 MLP, MHA (no GQA), tied embeddings."""
+        return ModelConfig(
+            vocab_size=50272, hidden_size=768, intermediate_size=3072,
+            num_layers=12, num_attention_heads=12, num_key_value_heads=12,
+            rms_norm_eps=1e-5, attention_bias=True, tie_word_embeddings=True,
+            max_position_embeddings=2048, family="opt")
+
+    @staticmethod
+    def opt_1_3b() -> "ModelConfig":
+        return ModelConfig(
+            vocab_size=50272, hidden_size=2048, intermediate_size=8192,
+            num_layers=24, num_attention_heads=32, num_key_value_heads=32,
+            rms_norm_eps=1e-5, attention_bias=True, tie_word_embeddings=True,
+            max_position_embeddings=2048, family="opt")
+
+    @staticmethod
+    def tiny_opt(vocab_size=256, hidden_size=64, intermediate_size=112,
+                 num_layers=2, num_attention_heads=4, **kw) -> "ModelConfig":
+        return ModelConfig(
+            vocab_size=vocab_size, hidden_size=hidden_size,
+            intermediate_size=intermediate_size, num_layers=num_layers,
+            num_attention_heads=num_attention_heads,
+            num_key_value_heads=num_attention_heads, attention_bias=True,
+            max_position_embeddings=512, family="opt", **kw)
 
     @staticmethod
     def mistral_7b() -> "ModelConfig":

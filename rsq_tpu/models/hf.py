@@ -27,9 +27,25 @@ _LAYER_KEYS = {
 
 
 def config_from_hf(hf_config) -> ModelConfig:
-    """Map a transformers config (Llama/Qwen2/Mistral) onto ModelConfig."""
-    family = {"llama": "llama", "qwen2": "qwen2", "mistral": "mistral"}.get(
-        hf_config.model_type, "llama")
+    """Map a transformers config (Llama/Qwen2/Mistral/OPT) onto ModelConfig."""
+    family = {"llama": "llama", "qwen2": "qwen2", "mistral": "mistral",
+              "opt": "opt"}.get(hf_config.model_type, "llama")
+    if family == "opt":
+        assert getattr(hf_config, "do_layer_norm_before", True), \
+            "pre-LN OPT variants only (opt-350m is post-LN)"
+        assert hf_config.word_embed_proj_dim == hf_config.hidden_size, \
+            "OPT word_embed_proj_dim != hidden_size not supported"
+        return ModelConfig(
+            vocab_size=hf_config.vocab_size,
+            hidden_size=hf_config.hidden_size,
+            intermediate_size=hf_config.ffn_dim,
+            num_layers=hf_config.num_hidden_layers,
+            num_attention_heads=hf_config.num_attention_heads,
+            num_key_value_heads=hf_config.num_attention_heads,
+            rms_norm_eps=1e-5, attention_bias=True,
+            tie_word_embeddings=getattr(hf_config, "tie_word_embeddings", True),
+            max_position_embeddings=hf_config.max_position_embeddings,
+            family="opt")
     scaling = None
     rs = getattr(hf_config, "rope_scaling", None)
     if rs and rs.get("rope_type", rs.get("type")) == "llama3":
@@ -74,6 +90,9 @@ def params_from_state_dict(sd, cfg: ModelConfig, dtype=np.float32):
                   if prefix + ".bias" in sd else None)
         return p
 
+    if cfg.family == "opt":
+        return _opt_params_from_state_dict(sd, cfg, get, lin)
+
     layers = []
     for i in range(cfg.num_layers):
         base = f"model.layers.{i}."
@@ -91,6 +110,46 @@ def params_from_state_dict(sd, cfg: ModelConfig, dtype=np.float32):
         "embed": jnp.asarray(embed),
         "layers": layers,
         "final_norm": jnp.asarray(get("model.norm.weight")),
+        "lm_head": jnp.asarray(lm_head),
+    }
+
+
+_OPT_LAYER_KEYS = {
+    "q": "self_attn.q_proj",
+    "k": "self_attn.k_proj",
+    "v": "self_attn.v_proj",
+    "o": "self_attn.out_proj",
+    "fc1": "fc1",
+    "fc2": "fc2",
+}
+
+
+def _opt_params_from_state_dict(sd, cfg, get, lin):
+    import jax.numpy as jnp
+
+    def norm(prefix):
+        return {"w": jnp.asarray(get(prefix + ".weight")),
+                "b": jnp.asarray(get(prefix + ".bias"))}
+
+    layers = []
+    for i in range(cfg.num_layers):
+        base = f"model.decoder.layers.{i}."
+        lp = {name: lin(base + hf_name)
+              for name, hf_name in _OPT_LAYER_KEYS.items()}
+        lp["input_norm"] = norm(base + "self_attn_layer_norm")
+        lp["post_norm"] = norm(base + "final_layer_norm")
+        layers.append(lp)
+
+    embed = get("model.decoder.embed_tokens.weight")
+    if cfg.tie_word_embeddings or "lm_head.weight" not in sd:
+        lm_head = embed.T.copy()
+    else:
+        lm_head = get("lm_head.weight").T
+    return {
+        "embed": jnp.asarray(embed),
+        "embed_pos": jnp.asarray(get("model.decoder.embed_positions.weight")),
+        "layers": layers,
+        "final_norm": norm("model.decoder.final_layer_norm"),
         "lm_head": jnp.asarray(lm_head),
     }
 

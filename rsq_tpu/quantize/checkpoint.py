@@ -24,19 +24,38 @@ import numpy as np
 from rsq_tpu.models.config import ModelConfig, RopeScaling
 
 _LAYER_LINEARS = ("q", "k", "v", "o", "up", "gate", "down")
+_OPT_LAYER_LINEARS = ("q", "k", "v", "o", "fc1", "fc2")
 
 
-def _flatten(params, quantizers):
+def _linear_names(cfg: ModelConfig):
+    return _OPT_LAYER_LINEARS if cfg.family == "opt" else _LAYER_LINEARS
+
+
+def _put_norm(arrays, key, norm):
+    """Norms are bare weight arrays (RMSNorm) or {"w","b"} dicts (OPT
+    LayerNorm); None when fused."""
+    if norm is None:
+        return
+    if isinstance(norm, dict):
+        arrays[key + ".w"] = np.asarray(norm["w"])
+        arrays[key + ".b"] = np.asarray(norm["b"])
+    else:
+        arrays[key] = np.asarray(norm)
+
+
+def _flatten(params, quantizers, cfg: ModelConfig):
     arrays = {}
     arrays["embed"] = np.asarray(params["embed"])
-    if params.get("final_norm") is not None:
-        arrays["final_norm"] = np.asarray(params["final_norm"])
+    if params.get("embed_pos") is not None:
+        arrays["embed_pos"] = np.asarray(params["embed_pos"])
+    _put_norm(arrays, "final_norm", params.get("final_norm"))
     arrays["lm_head"] = np.asarray(params["lm_head"])
+    if params.get("lm_head_bias") is not None:
+        arrays["lm_head_bias"] = np.asarray(params["lm_head_bias"])
     for i, lp in enumerate(params["layers"]):
         for norm in ("input_norm", "post_norm"):
-            if lp.get(norm) is not None:
-                arrays[f"layers.{i}.{norm}"] = np.asarray(lp[norm])
-        for name in _LAYER_LINEARS:
+            _put_norm(arrays, f"layers.{i}.{norm}", lp.get(norm))
+        for name in _linear_names(cfg):
             arrays[f"layers.{i}.{name}.w"] = np.asarray(lp[name]["w"])
             if lp[name].get("b") is not None:
                 arrays[f"layers.{i}.{name}.b"] = np.asarray(lp[name]["b"])
@@ -49,7 +68,7 @@ def _flatten(params, quantizers):
 def save_quantized(path: str, params, quantizers, cfg: ModelConfig,
                    meta: dict | None = None):
     os.makedirs(path, exist_ok=True)
-    arrays = _flatten(params, quantizers)
+    arrays = _flatten(params, quantizers, cfg)
     np.savez(os.path.join(path, "arrays.npz"), **arrays)
     cfg_dict = dataclasses.asdict(cfg)
     manifest = {
@@ -80,22 +99,31 @@ def load_quantized(path: str, dtype=jnp.float32):
             raise KeyError(key)
         return None
 
+    def norm(key):
+        if f"{key}.w" in z:
+            return {"w": arr(f"{key}.w"), "b": arr(f"{key}.b")}
+        return arr(key, required=False)
+
     layers = []
     for i in range(cfg.num_layers):
         lp = {
-            "input_norm": arr(f"layers.{i}.input_norm", required=False),
-            "post_norm": arr(f"layers.{i}.post_norm", required=False),
+            "input_norm": norm(f"layers.{i}.input_norm"),
+            "post_norm": norm(f"layers.{i}.post_norm"),
         }
-        for name in _LAYER_LINEARS:
+        for name in _linear_names(cfg):
             lp[name] = {"w": arr(f"layers.{i}.{name}.w"),
                         "b": arr(f"layers.{i}.{name}.b", required=False)}
         layers.append(lp)
     params = {
         "embed": arr("embed"),
-        "final_norm": arr("final_norm", required=False),
+        "final_norm": norm("final_norm"),
         "lm_head": arr("lm_head"),
         "layers": layers,
     }
+    if "embed_pos" in z:
+        params["embed_pos"] = arr("embed_pos")
+    if "lm_head_bias" in z:
+        params["lm_head_bias"] = arr("lm_head_bias")
     quantizers = {}
     for key in manifest["quantizer_bits"]:
         quantizers[key] = {

@@ -119,11 +119,12 @@ def _hessian_accumulate(H, lp, x, w, cos, sin, cfg, policy, group, mask):
     """A chunk of samples' Hessian contribution for `group`, fused with the
     layer sub-forward. x: (C, L, d); w: (C, L) normalized token weights
     (zero rows = padding samples contribute nothing)."""
+    from rsq_tpu.models import family
     if x.ndim == 2:
         x = x[None]
     if w.ndim == 1:
         w = w[None]
-    inp = group_input(lp, x, cos, sin, cfg, policy, group, mask)
+    inp = family.group_input(lp, x, cos, sin, cfg, policy, group, mask)
     inp = inp.astype(jnp.float32) * jnp.sqrt(w)[:, :, None]
     return H + jnp.einsum("cld,cle->de", inp, inp,
                           preferred_element_type=jnp.float32)
@@ -131,7 +132,8 @@ def _hessian_accumulate(H, lp, x, w, cos, sin, cfg, policy, group, mask):
 
 @partial(jax.jit, static_argnames=("cfg", "policy"))
 def _layer_out(lp, x, cos, sin, cfg, policy, mask):
-    return M.layer_forward(lp, x, cos, sin, cfg, policy, mask)
+    from rsq_tpu.models import family
+    return family.layer_forward(lp, x, cos, sin, cfg, policy, mask)
 
 
 # ---------------------------------------------------------------------------
@@ -161,10 +163,13 @@ def quantize_model(params, cfg: ModelConfig, rsq: RSQConfig, calib_ids,
             params, cfg, mode=rsq.rotate_mode, seed=rsq.rotation_seed)
         logger.info("rotation applied (mode=%s)", rsq.rotate_mode)
 
+    from rsq_tpu.models import family
+
     calib_ids = np.asarray(calib_ids)[: rsq.nsamples]
     n, L = calib_ids.shape
     policy = _calibration_policy(rsq)
-    cos, sin = M.rope_tables(cfg, jnp.arange(L))
+    cos, sin = family.pos_tables(cfg, jnp.arange(L))
+    groups = family.groups_for(cfg)
 
     # calibration attention mask: custom attention, when configured, stays
     # enabled for the Hessian AND post-quant output passes (the reference
@@ -182,7 +187,9 @@ def quantize_model(params, cfg: ModelConfig, rsq: RSQConfig, calib_ids,
     token_freq = np.asarray(token_frequencies(calib_ids))
 
     # first-layer inputs (get_inps, gptq_utils.py:320-428) — embeddings only
-    inps = np.asarray(jax.jit(M.embed)(params, jnp.asarray(calib_ids)))
+    # (for OPT this includes the learned positional embeddings, :352-357)
+    inps = np.asarray(jax.jit(family.embed, static_argnames=("cfg",))(
+        params, jnp.asarray(calib_ids), cfg=cfg))
 
     # sample shuffle (gptq_utils.py:490-491)
     perm = rng.permutation(n)
@@ -210,7 +217,7 @@ def quantize_model(params, cfg: ModelConfig, rsq: RSQConfig, calib_ids,
         else:
             batch_w = None
 
-        for group in GROUPS:
+        for group in groups:
             names = [g for g in group
                      if rsq.bits_for(i, g) < 16]
             if not names:

@@ -54,27 +54,74 @@ def _fuse_ln_into(linears: list[dict], norm_w) -> None:
         p["w"] = _like(W * nw[:, None], p["w"])
 
 
-def fuse_norms(params, cfg: ModelConfig):
-    """Fold all RMSNorm weights into adjacent linears; mean-center embeddings.
+def _fuse_affine_ln_into(linears: list[dict], norm: dict) -> None:
+    """LayerNorm (weight + bias) fusion: W[i,:] *= w[i], b' += b_ln @ W
+    (fuse_ln_linear with bias, rotation_utils.py:12-27)."""
+    nw, nb = _np64(norm["w"]), _np64(norm["b"])
+    for p in linears:
+        W = _np64(p["w"])
+        b0 = _np64(p["b"]) if p.get("b") is not None else np.zeros(W.shape[1])
+        p["w"] = _like(W * nw[:, None], p["w"])
+        p["b"] = _like(b0 + nb @ W, p["w"])
 
-    Returns a new params pytree with `input_norm`/`post_norm`/`final_norm`
-    set to None (weightless)."""
-    out = {"embed": None, "layers": [], "final_norm": None, "lm_head": None}
+
+def _bake_mean_out(p) -> None:
+    """Bake output-mean subtraction into an output-side linear
+    (bake_mean_into_linear, rotation_utils.py:29-43): W' = W(I - 11^T/d)."""
+    W = _np64(p["w"])
+    p["w"] = _like(W - W.mean(axis=-1, keepdims=True), p["w"])
+    if p.get("b") is not None:
+        b = _np64(p["b"])
+        p["b"] = _like(b - b.mean(), p["b"])
+
+
+def fuse_norms(params, cfg: ModelConfig):
+    """Fold all norm affine params into adjacent linears; mean-center
+    embeddings.  Returns a new params pytree with
+    `input_norm`/`post_norm`/`final_norm` set to None (weightless RMSN).
+
+    OPT (LayerNorm family): norm weight AND bias fold into the following
+    linears, and mean-subtraction is baked into out_proj/fc2 so the residual
+    stream stays zero-mean — which is what makes the weightless RMSN
+    equivalent to the original LayerNorm (rotation_utils.py:64-90)."""
+    out = {k: params[k] for k in params if k not in
+           ("embed", "layers", "final_norm", "lm_head")}
+    out.update({"embed": None, "layers": [], "final_norm": None,
+                "lm_head": None})
 
     E = _np64(params["embed"])
     out["embed"] = _like(E - E.mean(axis=-1, keepdims=True), params["embed"])
+    if "embed_pos" in params:  # OPT learned positions add into the stream
+        P = _np64(params["embed_pos"])
+        out["embed_pos"] = _like(P - P.mean(axis=-1, keepdims=True),
+                                 params["embed_pos"])
 
+    opt_family = cfg.family == "opt"
     for lp in params["layers"]:
         nlp = {k: (dict(v) if isinstance(v, dict) else v) for k, v in lp.items()}
-        _fuse_ln_into([nlp["q"], nlp["k"], nlp["v"]], lp["input_norm"])
-        _fuse_ln_into([nlp["up"], nlp["gate"]], lp["post_norm"])
+        if opt_family:
+            _fuse_affine_ln_into([nlp["q"], nlp["k"], nlp["v"]],
+                                 lp["input_norm"])
+            _fuse_affine_ln_into([nlp["fc1"]], lp["post_norm"])
+            _bake_mean_out(nlp["o"])
+            _bake_mean_out(nlp["fc2"])
+        else:
+            _fuse_ln_into([nlp["q"], nlp["k"], nlp["v"]], lp["input_norm"])
+            _fuse_ln_into([nlp["up"], nlp["gate"]], lp["post_norm"])
         nlp["input_norm"] = None
         nlp["post_norm"] = None
         out["layers"].append(nlp)
 
-    HW = _np64(params["lm_head"])
-    out["lm_head"] = _like(HW * _np64(params["final_norm"])[:, None],
-                           params["lm_head"])
+    if opt_family:
+        hp = {"w": params["lm_head"],
+              "b": params.get("lm_head_bias")}
+        _fuse_affine_ln_into([hp], params["final_norm"])
+        out["lm_head"] = hp["w"]
+        out["lm_head_bias"] = hp["b"]  # final-LN bias becomes a logit offset
+    else:
+        HW = _np64(params["lm_head"])
+        out["lm_head"] = _like(HW * _np64(params["final_norm"])[:, None],
+                               params["lm_head"])
     out["final_norm"] = None
     return out
 
@@ -111,13 +158,10 @@ def _had_out_per_head(p, head_dim: int):
 
 
 def _copy_layers(params):
-    return {
-        "embed": params["embed"],
-        "layers": [{k: (dict(v) if isinstance(v, dict) else v)
-                    for k, v in lp.items()} for lp in params["layers"]],
-        "final_norm": params["final_norm"],
-        "lm_head": params["lm_head"],
-    }
+    out = {k: v for k, v in params.items() if k != "layers"}
+    out["layers"] = [{k: (dict(v) if isinstance(v, dict) else v)
+                      for k, v in lp.items()} for lp in params["layers"]]
+    return out
 
 
 def rotate(params, cfg: ModelConfig, Q: np.ndarray):
@@ -125,18 +169,23 @@ def rotate(params, cfg: ModelConfig, Q: np.ndarray):
     already fused (fuse_norms)."""
     out = _copy_layers(params)
     out["embed"] = _like(_np64(params["embed"]) @ Q, params["embed"])
+    if "embed_pos" in params:  # OPT learned positions live in the stream too
+        out["embed_pos"] = _like(_np64(params["embed_pos"]) @ Q,
+                                 params["embed_pos"])
     out["lm_head"] = _like(Q.T @ _np64(params["lm_head"]), params["lm_head"])
 
     hd = cfg.head_dim_
+    mlp_in, mlp_out = (("fc1",), "fc2") if cfg.family == "opt" \
+        else (("up", "gate"), "down")
     for lp in out["layers"]:
         _rot_in(lp["q"], Q)
         _rot_in(lp["k"], Q)
         _rot_in(lp["v"], Q)
         _rot_out(lp["o"], Q)
-        _rot_in(lp["up"], Q)
-        _rot_in(lp["gate"], Q)
-        _rot_out(lp["down"], Q)
-        _had_in(lp["down"])             # pairs with online full Hadamard
+        for n in mlp_in:
+            _rot_in(lp[n], Q)
+        _rot_out(lp[mlp_out], Q)
+        _had_in(lp[mlp_out])            # pairs with online full Hadamard
         _had_out_per_head(lp["v"], hd)  # pairs with ...
         _had_in(lp["o"])                # ... the online head-mixing Hadamard
     return out
@@ -148,8 +197,9 @@ def post_rotate_after_load(params, cfg: ModelConfig):
     post_process_model_after_load)."""
     out = _copy_layers(params)
     hd = cfg.head_dim_
+    mlp_out = "fc2" if cfg.family == "opt" else "down"
     for lp in out["layers"]:
-        _had_in(lp["down"])
+        _had_in(lp[mlp_out])
         _had_out_per_head(lp["v"], hd)
         _had_in(lp["o"])
     return out

@@ -231,14 +231,20 @@ def _attention_received(lp, x, cfg: ModelConfig, policy: QuantPolicy,
     iwm.py:160-189). Computed head-by-head via scan to avoid materializing
     (H, L, L) all at once at seqlen 4096."""
     L = x.shape[0]
-    h = M.rms_norm(x[None], lp.get("input_norm"), cfg.rms_norm_eps)
-    cos, sin = M.rope_tables(cfg, jnp.arange(L))
     hd, nq, nkv = cfg.head_dim_, cfg.num_attention_heads, cfg.num_key_value_heads
-    q = M.linear(h, lp["q"]).reshape(1, L, nq, hd)
-    k = M.linear(h, lp["k"]).reshape(1, L, nkv, hd)
-    q = M.apply_rope(q, cos, sin)[0]          # (L, nq, hd)
-    k = M.apply_rope(k, cos, sin)[0]
-    k = M.repeat_kv(k[None], nq // nkv)[0]
+    if cfg.family == "opt":
+        from rsq_tpu.models.opt import layer_norm
+        h = layer_norm(x[None], lp.get("input_norm"), cfg.rms_norm_eps)
+        q = M.linear(h, lp["q"]).reshape(1, L, nq, hd)[0]
+        k = M.linear(h, lp["k"]).reshape(1, L, nkv, hd)[0]
+    else:
+        h = M.rms_norm(x[None], lp.get("input_norm"), cfg.rms_norm_eps)
+        cos, sin = M.rope_tables(cfg, jnp.arange(L))
+        q = M.linear(h, lp["q"]).reshape(1, L, nq, hd)
+        k = M.linear(h, lp["k"]).reshape(1, L, nkv, hd)
+        q = M.apply_rope(q, cos, sin)[0]          # (L, nq, hd)
+        k = M.apply_rope(k, cos, sin)[0]
+        k = M.repeat_kv(k[None], nq // nkv)[0]
 
     cmask = calibration_mask(wcfg, L, nq)
     causal = M.causal_mask(L)
