@@ -82,15 +82,56 @@ def save_quantized(path: str, params, quantizers, cfg: ModelConfig,
         json.dump(manifest, f, indent=1)
 
 
+def save_quantized_orbax(path: str, params, quantizers, cfg: ModelConfig,
+                         meta: dict | None = None):
+    """Orbax-backed save: sharded/multi-host capable (each host writes its
+    shards; single-host behaves like a plain directory checkpoint). The
+    manifest mirrors the npz format so `load_quantized_orbax` reconstructs
+    the identical pytree."""
+    import orbax.checkpoint as ocp
+    path = os.path.abspath(path)
+    os.makedirs(path, exist_ok=True)
+    arrays = _flatten(params, quantizers, cfg)
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(os.path.join(path, "arrays"), arrays)
+    manifest = {
+        "model_config": dataclasses.asdict(cfg),
+        "num_layers": cfg.num_layers,
+        "quantizer_bits": {k: int(v["bits"]) for k, v in quantizers.items()},
+        "meta": meta or {},
+        "norms_fused": params["layers"][0].get("input_norm") is None,
+        "format": "orbax",
+    }
+    with open(os.path.join(path, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=1)
+
+
+def load_quantized_orbax(path: str, dtype=jnp.float32):
+    """Counterpart of save_quantized_orbax; returns the same tuple as
+    load_quantized."""
+    import orbax.checkpoint as ocp
+    path = os.path.abspath(path)
+    with open(os.path.join(path, "manifest.json")) as f:
+        manifest = json.load(f)
+    with ocp.PyTreeCheckpointer() as ckptr:
+        z = ckptr.restore(os.path.join(path, "arrays"))
+    return _unflatten(z, manifest, dtype) + (manifest,)
+
+
 def load_quantized(path: str, dtype=jnp.float32):
     """Returns (params, quantizers, cfg, manifest)."""
     with open(os.path.join(path, "manifest.json")) as f:
         manifest = json.load(f)
+    z = np.load(os.path.join(path, "arrays.npz"))
+    return _unflatten(z, manifest, dtype) + (manifest,)
+
+
+def _unflatten(z, manifest, dtype=jnp.float32):
+    """(key -> array mapping, manifest) -> (params, quantizers, cfg)."""
     cd = dict(manifest["model_config"])
     if cd.get("rope_scaling"):
         cd["rope_scaling"] = RopeScaling(**cd["rope_scaling"])
     cfg = ModelConfig(**cd)
-    z = np.load(os.path.join(path, "arrays.npz"))
 
     def arr(key, required=True):
         if key in z:
@@ -131,4 +172,4 @@ def load_quantized(path: str, dtype=jnp.float32):
             "zero": np.asarray(z[f"quant.{key}.zero"]),
             "bits": manifest["quantizer_bits"][key],
         }
-    return params, quantizers, cfg, manifest
+    return params, quantizers, cfg

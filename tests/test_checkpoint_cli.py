@@ -72,3 +72,35 @@ def test_cli_quantize_eval(tmp_path):
     line2 = [l for l in out2.stdout.splitlines() if l.startswith("{")][-1]
     res2 = json.loads(line2)
     assert abs(res2["ppl"] - res["ppl"]) / res["ppl"] < 0.05
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    import jax
+    from rsq_tpu.models import llama as LM
+    from rsq_tpu.models.config import ModelConfig
+    from rsq_tpu.quantize.checkpoint import (
+        load_quantized_orbax, save_quantized_orbax)
+    cfg = ModelConfig.tiny()
+    params = LM.init_params(cfg, jax.random.PRNGKey(0))
+    quant = {"layers.0.q": {"scale": np.ones((8, 1), np.float32),
+                            "zero": np.zeros((8, 1), np.float32), "bits": 4}}
+    save_quantized_orbax(str(tmp_path / "ck"), params, quant, cfg,
+                         meta={"rotate": False})
+    p2, q2, cfg2, man = load_quantized_orbax(str(tmp_path / "ck"))
+    assert man["format"] == "orbax"
+    assert cfg2 == cfg
+    assert q2["layers.0.q"]["bits"] == 4
+    np.testing.assert_array_equal(np.asarray(p2["layers"][1]["down"]["w"]),
+                                  np.asarray(params["layers"][1]["down"]["w"]))
+
+
+def test_tracker_jsonl(tmp_path):
+    from rsq_tpu.utils.tracking import Tracker
+    with Tracker(str(tmp_path), config={"w_bits": 4}) as tr:
+        tr.log({"ppl": 5.5}, step=1)
+        tr.summary({"acc_avg": 0.6})
+    import json
+    lines = [json.loads(l) for l in open(tmp_path / "metrics.jsonl")]
+    assert lines[0]["ppl"] == 5.5 and lines[0]["step"] == 1
+    assert lines[1]["summary"] and lines[1]["acc_avg"] == 0.6
+    assert json.load(open(tmp_path / "config.json"))["w_bits"] == 4
