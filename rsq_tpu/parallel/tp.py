@@ -121,6 +121,74 @@ def _gathered_transform(x, transform, axis_name="tp"):
     return jax.lax.dynamic_slice_in_dim(full, idx * shard, shard, axis=-1)
 
 
+def _shard_butterfly(x, axis_name="tp"):
+    """Apply the H_tp factor across the shard index: log2(tp) ppermute
+    rounds of pairwise exchange + signed add.  With contiguous (high-bit)
+    sharding, H_{tp*n} = H_tp (x) H_n, so a LOCAL transform followed by this
+    butterfly equals the global transform — traffic is log2(tp) shard-sized
+    exchanges instead of a (tp-1)/tp all_gather of the full dim."""
+    tp = jax.lax.axis_size(axis_name)
+    idx = jax.lax.axis_index(axis_name)
+    r = 1
+    while r < tp:
+        perm = [(i, i ^ r) for i in range(tp)]
+        recv = jax.lax.ppermute(x, axis_name, perm)
+        sign = jnp.where((idx & r) == 0, 1.0, -1.0).astype(x.dtype)
+        x = recv + sign * x
+        r <<= 1
+    return x
+
+
+def distributed_matmul_hadU(x, axis_name="tp"):
+    """matmul_hadU over a tp-sharded (contiguous) last dim, pow2 global size:
+    local unnormalized fwht + shard butterfly + 1/sqrt(n_global)."""
+    from rsq_tpu.core.hadamard import fwht, is_pow2
+    tp = jax.lax.axis_size(axis_name)
+    n_local = x.shape[-1]
+    assert is_pow2(n_local) and is_pow2(tp), "pow2 dims only; use the gather path"
+    xf = fwht(x.astype(jnp.float32))
+    xf = _shard_butterfly(xf, axis_name)
+    return (xf / np.sqrt(n_local * tp)).astype(x.dtype)
+
+
+def distributed_head_mixing(x, head_dim: int, axis_name="tp"):
+    """head_mixing_hadamard with heads sharded contiguously over tp
+    (pow2 local head count): local head-mix + shard butterfly."""
+    from rsq_tpu.core.hadamard import fwht, is_pow2
+    tp = jax.lax.axis_size(axis_name)
+    n = x.shape[-1]
+    heads_l = n // head_dim
+    assert is_pow2(heads_l) and is_pow2(tp)
+    xs = x.reshape(*x.shape[:-1], heads_l, head_dim).astype(jnp.float32)
+    xs = fwht(xs, axis=-2)
+    xs = _shard_butterfly(xs, axis_name)
+    out = xs / np.sqrt(heads_l * tp)
+    return out.reshape(x.shape).astype(x.dtype)
+
+
+def _mix_heads(attn, hd: int, cfg: ModelConfig, axis_name="tp"):
+    """Online head-mixing Hadamard under tp: butterfly when head counts are
+    pow2, else gather->transform->slice."""
+    from rsq_tpu.core.hadamard import head_mixing_hadamard, is_pow2
+    nq = cfg.num_attention_heads
+    heads_l = attn.shape[-1] // hd
+    if is_pow2(nq) and is_pow2(heads_l):
+        return distributed_head_mixing(attn, hd, axis_name)
+    return _gathered_transform(
+        attn, lambda a: head_mixing_hadamard(a, head_dim=hd), axis_name)
+
+
+def _mix_intermediate(act, cfg: ModelConfig, axis_name="tp"):
+    """Online full Hadamard on the (sharded) MLP intermediate dim: butterfly
+    when the global dim is pow2; the K-block case (e.g. 14336 = 28*512)
+    mixes across non-pow2 blocks and takes the gather path."""
+    from rsq_tpu.core.hadamard import is_pow2
+    from rsq_tpu.kernels.hadamard_mxu import hadamard_transform
+    if is_pow2(cfg.intermediate_size) and is_pow2(act.shape[-1]):
+        return distributed_matmul_hadU(act, axis_name)
+    return _gathered_transform(act, hadamard_transform, axis_name)
+
+
 def _local_decode_layer(lp, x, cache, layer, cos, sin, pos, cfg: ModelConfig,
                         sc: ServingConfig):
     """Decode layer on LOCAL shards inside shard_map. x: (Bl, 1, d) replicated
@@ -164,9 +232,7 @@ def _local_decode_layer(lp, x, cache, layer, cos, sin, pos, cfg: ModelConfig,
     attn = attn.reshape(b, 1, nq_l * hd)
 
     if sc.online_had:
-        from rsq_tpu.core.hadamard import head_mixing_hadamard
-        attn = _gathered_transform(
-            attn, lambda a: head_mixing_hadamard(a, head_dim=hd))
+        attn = _mix_heads(attn, hd, cfg)
     o = serving_linear(attn, lp["o"], sc, tp_axis="tp")
     o = jax.lax.psum(o, "tp").astype(x.dtype)
     x = x + o
@@ -176,8 +242,7 @@ def _local_decode_layer(lp, x, cache, layer, cos, sin, pos, cfg: ModelConfig,
     gate = serving_linear(h2, lp["gate"], sc)
     act = jax.nn.silu(gate.astype(jnp.float32)).astype(h2.dtype) * up
     if sc.online_had:
-        from rsq_tpu.kernels.hadamard_mxu import hadamard_transform
-        act = _gathered_transform(act, hadamard_transform)
+        act = _mix_intermediate(act, cfg)
     down = serving_linear(act, lp["down"], sc, tp_axis="tp")
     down = jax.lax.psum(down, "tp").astype(x.dtype)
     return x + down, cache
@@ -203,9 +268,7 @@ def _local_prefill_layer(lp, x, cache, layer, cos, sin, mask,
                        M.repeat_kv(v, nq_l // nkv_l), mask)
     attn = attn.reshape(b, s, nq_l * hd)
     if sc.online_had:
-        from rsq_tpu.core.hadamard import head_mixing_hadamard
-        attn = _gathered_transform(
-            attn, lambda a: head_mixing_hadamard(a, head_dim=hd))
+        attn = _mix_heads(attn, hd, cfg)
     x = x + jax.lax.psum(serving_linear(attn, lp["o"], sc, tp_axis="tp"),
                          "tp").astype(x.dtype)
     h2 = M.rms_norm(x, lp.get("post_norm"), cfg.rms_norm_eps)
@@ -213,8 +276,7 @@ def _local_prefill_layer(lp, x, cache, layer, cos, sin, mask,
     gate = serving_linear(h2, lp["gate"], sc)
     act = jax.nn.silu(gate.astype(jnp.float32)).astype(h2.dtype) * up
     if sc.online_had:
-        from rsq_tpu.kernels.hadamard_mxu import hadamard_transform
-        act = _gathered_transform(act, hadamard_transform)
+        act = _mix_intermediate(act, cfg)
     return x + jax.lax.psum(serving_linear(act, lp["down"], sc, tp_axis="tp"),
                             "tp").astype(x.dtype), cache
 

@@ -60,6 +60,11 @@ class FinetuneConfig:
     batch_size: int = 1
     train_weights: bool = True
     self_similarity_loss: bool = False
+    # attention-matrix loss (optimizers.py:146-168): match the quantized
+    # layer's attention to the unquantized layer's on the same inputs —
+    # KL on probabilities (attn_loss_on_prob) or MSE on causal-valid logits
+    attn_loss: bool = False
+    attn_loss_on_prob: bool = True
     attn_loss_weight: float = 1.0
     val_fraction: float = 0.25
 
@@ -123,11 +128,41 @@ def finetune_layer(lp, quantizers, layer_idx: int, inps, targets,
         labels)
     opt_state = tx.init(state)
 
+    def attn_logits(lyr, x):
+        """(b, h, L, L) masked attention logits of a layer on input x."""
+        h = M.rms_norm(x, lyr.get("input_norm"), cfg.rms_norm_eps)
+        b = x.shape[0]
+        hd, nq, nkv = (cfg.head_dim_, cfg.num_attention_heads,
+                       cfg.num_key_value_heads)
+        q = M.linear(h, lyr["q"]).reshape(b, L, nq, hd)
+        k = M.linear(h, lyr["k"]).reshape(b, L, nkv, hd)
+        q = M.apply_rope(q, cos, sin)
+        k = M.apply_rope(k, cos, sin)
+        k = M.repeat_kv(k, nq // nkv)
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                            preferred_element_type=jnp.float32)
+        return logits / jnp.sqrt(jnp.asarray(hd, jnp.float32)) + mask
+
     def loss_fn(state, x, y):
         qlp = _apply_trainable(lp, state, quantizers, layer_idx)
         pred = M.layer_forward(qlp, x, cos, sin, cfg, policy, mask)
         mse = jnp.mean((pred.astype(jnp.float32) - y.astype(jnp.float32)) ** 2)
         extra = 0.0
+        if ft.attn_loss:
+            pl_ = attn_logits(qlp, x)
+            tl = jax.lax.stop_gradient(attn_logits(lp, x))
+            if ft.attn_loss_on_prob:
+                # KLDivLoss(log_target=True) semantics: sum p_t (log p_t - log p_q)
+                lp_q = jax.nn.log_softmax(pl_, axis=-1)
+                lp_t = jax.nn.log_softmax(tl, axis=-1)
+                kl = jnp.sum(jnp.exp(lp_t) * (lp_t - lp_q), axis=-1)
+                extra = extra + jnp.mean(kl)
+            else:
+                valid = mask > -1e10
+                diff = jnp.where(valid, pl_ - tl, 0.0)
+                extra = extra + (jnp.sum(diff ** 2)
+                                 / jnp.maximum(jnp.sum(valid), 1)
+                                 / (pl_.shape[0] * pl_.shape[1]))
         if ft.self_similarity_loss:
             ps = jnp.einsum("bld,bmd->blm", pred.astype(jnp.float32),
                             pred.astype(jnp.float32))

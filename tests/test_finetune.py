@@ -98,3 +98,27 @@ def test_schedulers():
     ep = Sch.make_scheduler("endpoints_peak", min_value=0.0, max_value=1.0).get_ratio(11)
     assert ep[0] == pytest.approx(1.0) and ep[-1] == pytest.approx(1.0)
     assert ep[5] < 0.1
+
+
+@pytest.mark.parametrize("on_prob", [True, False])
+def test_finetune_attn_loss(on_prob):
+    # attention-matrix loss (optimizers.py:146-168): KL on probs / MSE on
+    # causal-valid logits vs the unquantized layer
+    cfg = ModelConfig.tiny(num_layers=1)
+    params = M.init_params(cfg, jax.random.PRNGKey(1), scale=0.05)
+    calib = D.get_loaders("synthetic", nsamples=4, seqlen=12,
+                          vocab_size=cfg.vocab_size)
+    inps = np.asarray(jax.jit(M.embed)(params, jnp.asarray(calib)))
+    cos, sin = M.rope_tables(cfg, jnp.arange(12))
+    mask = M.causal_mask(12)
+    targets = np.stack([
+        np.asarray(_layer_out(params["layers"][0], jnp.asarray(inps[j:j+1]),
+                              cos, sin, cfg, FP16, mask)[0])
+        for j in range(4)])
+    rsq = RSQConfig(w=WeightQuantConfig(bits=3, sym=True), nsamples=4)
+    qparams, quantizers = quantize_model(params, cfg, rsq, calib)
+    ft = F.FinetuneConfig(max_epochs=2, early_stop=2, attn_loss=True,
+                          attn_loss_on_prob=on_prob, attn_loss_weight=0.5)
+    _, info = F.finetune_layer(qparams["layers"][0], quantizers, 0, inps,
+                               targets, cfg, FP16, ft)
+    assert np.isfinite(info["val_loss"])

@@ -88,3 +88,62 @@ def test_tp_online_hadamard_gather_path(setup):
     np.testing.assert_allclose(np.asarray(logits0, np.float32),
                                np.asarray(logits1, np.float32),
                                rtol=2e-2, atol=2e-2)
+
+
+def test_distributed_butterfly_matches_local_wht():
+    """local fwht + shard butterfly == global matmul_hadU (pow2 dims)."""
+    from functools import partial
+    from jax.sharding import PartitionSpec as P
+    from rsq_tpu.core.hadamard import matmul_hadU
+
+    mesh = TP.make_mesh(4, dp=1)
+    x = jnp.asarray(np.random.default_rng(2).standard_normal((8, 256)),
+                    jnp.float32)
+    want = np.asarray(matmul_hadU(x))
+    f = jax.jit(jax.shard_map(
+        partial(TP.distributed_matmul_hadU, axis_name="tp"), mesh=mesh,
+        in_specs=P(None, "tp"), out_specs=P(None, "tp"), check_vma=False))
+    got = np.asarray(f(x))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_distributed_head_mixing_matches_local():
+    from functools import partial
+    from jax.sharding import PartitionSpec as P
+    from rsq_tpu.core.hadamard import head_mixing_hadamard
+
+    mesh = TP.make_mesh(4, dp=1)
+    hd = 16
+    x = jnp.asarray(np.random.default_rng(3).standard_normal((4, 8 * hd)),
+                    jnp.float32)
+    want = np.asarray(head_mixing_hadamard(x, head_dim=hd))
+    f = jax.jit(jax.shard_map(
+        partial(TP.distributed_head_mixing, head_dim=hd, axis_name="tp"),
+        mesh=mesh, in_specs=P(None, "tp"), out_specs=P(None, "tp"),
+        check_vma=False))
+    got = np.asarray(f(x))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_tp_online_hadamard_nonpow2_gather_path():
+    """intermediate 224 = 7*32 is non-pow2 -> the K-block gather path."""
+    cfg = ModelConfig.tiny(num_layers=1, hidden_size=128,
+                           intermediate_size=224, num_attention_heads=8,
+                           num_key_value_heads=4)
+    params = M.init_params(cfg, jax.random.PRNGKey(5), scale=0.05)
+    sparams = to_serving_params(params, {}, cfg)
+    sc = S.ServingConfig(model=cfg, a4=False, kv_int4=False,
+                         kv_hadamard=False, online_had=True, max_seq=32)
+    ids = jnp.asarray(np.random.default_rng(6).integers(
+        0, cfg.vocab_size, (2, 8)))
+    cache0 = S.init_cache(sc, 2)
+    logits0, _ = S.prefill(sparams, cache0, ids, sc)
+
+    mesh = TP.make_mesh(4, dp=1)
+    p_sh = TP.shard_params(sparams, mesh)
+    cache = TP.shard_cache(S.init_cache(sc, 2), mesh)
+    prefill, _ = TP.make_tp_step(p_sh, cache, mesh, sc)
+    logits1, _ = prefill(p_sh, cache, ids)
+    np.testing.assert_allclose(np.asarray(logits0, np.float32),
+                               np.asarray(logits1, np.float32),
+                               rtol=2e-2, atol=2e-2)
