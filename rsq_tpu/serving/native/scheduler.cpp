@@ -13,6 +13,7 @@
 
 #include <cstdint>
 #include <deque>
+#include <list>
 #include <mutex>
 #include <unordered_map>
 #include <vector>
@@ -137,6 +138,159 @@ int sched_slot_of(void *h, int64_t uid) {
   std::lock_guard<std::mutex> g(s->mu);
   auto it = s->allocs.find(uid);
   return it == s->allocs.end() ? -1 : it->second.slot;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Refcounted page allocator with prefix cache (vLLM-style, new capability —
+// the reference's paged_kv_t has per-request pages only, page.cuh:19).
+//
+// Pages holding a fully-written prompt prefix are registered under a
+// cumulative content hash; a later request whose prompt shares that prefix
+// re-uses the page (incref) instead of re-prefilling it.  Pages whose
+// refcount reaches zero stay cached (evictable, LRU) until the free list
+// runs dry.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct PageState {
+  int refs = 0;
+  uint64_t hash = 0;
+  bool cached = false;
+};
+
+struct PageAllocator {
+  std::vector<PageState> pages;
+  std::vector<int> free_list;                         // LIFO
+  std::unordered_map<uint64_t, int> cache;            // hash -> page id
+  std::list<int> lru;                                 // evictable, front=old
+  std::unordered_map<int, std::list<int>::iterator> lru_pos;
+  int64_t hits = 0, misses = 0, evictions = 0;
+  std::mutex mu;
+
+  explicit PageAllocator(int n) : pages(n) {
+    free_list.reserve(n);
+    for (int i = n - 1; i >= 0; --i) free_list.push_back(i);
+  }
+
+  void drop_from_lru(int id) {
+    auto it = lru_pos.find(id);
+    if (it != lru_pos.end()) {
+      lru.erase(it->second);
+      lru_pos.erase(it);
+    }
+  }
+
+  bool evict_one() {  // requires lock held; returns false if nothing to evict
+    if (lru.empty()) return false;
+    int id = lru.front();
+    lru.pop_front();
+    lru_pos.erase(id);
+    cache.erase(pages[id].hash);
+    pages[id] = PageState{};
+    free_list.push_back(id);
+    ++evictions;
+    return true;
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+void *pa_create(int num_pages) { return new PageAllocator(num_pages); }
+
+void pa_destroy(void *h) { delete static_cast<PageAllocator *>(h); }
+
+// Allocate n fresh pages (refcount 1) into out_ids. Evicts unreferenced
+// cached pages LRU-first when the free list is short. Returns 1/0.
+int pa_alloc(void *h, int n, int32_t *out_ids) {
+  auto *a = static_cast<PageAllocator *>(h);
+  std::lock_guard<std::mutex> g(a->mu);
+  while (static_cast<int>(a->free_list.size()) < n)
+    if (!a->evict_one()) return 0;
+  for (int i = 0; i < n; ++i) {
+    int id = a->free_list.back();
+    a->free_list.pop_back();
+    a->pages[id] = PageState{1, 0, false};
+    out_ids[i] = id;
+  }
+  return 1;
+}
+
+void pa_incref(void *h, int32_t id) {
+  auto *a = static_cast<PageAllocator *>(h);
+  std::lock_guard<std::mutex> g(a->mu);
+  if (a->pages[id].refs++ == 0) a->drop_from_lru(id);
+}
+
+// Drop one reference. At zero: cached pages park in the LRU (still
+// lookup-able), uncached pages return to the free list.
+void pa_decref(void *h, int32_t id) {
+  auto *a = static_cast<PageAllocator *>(h);
+  std::lock_guard<std::mutex> g(a->mu);
+  PageState &p = a->pages[id];
+  if (p.refs <= 0) return;
+  if (--p.refs == 0) {
+    if (p.cached) {
+      a->lru.push_back(id);
+      a->lru_pos[id] = std::prev(a->lru.end());
+    } else {
+      p = PageState{};
+      a->free_list.push_back(id);
+    }
+  }
+}
+
+// Register `id` under `hash`. If the hash is already cached (a concurrent
+// duplicate prefill), the existing entry wins; returns the canonical id.
+int32_t pa_prefix_insert(void *h, uint64_t hash, int32_t id) {
+  auto *a = static_cast<PageAllocator *>(h);
+  std::lock_guard<std::mutex> g(a->mu);
+  auto it = a->cache.find(hash);
+  if (it != a->cache.end()) return it->second;
+  a->pages[id].hash = hash;
+  a->pages[id].cached = true;
+  a->cache[hash] = id;
+  return id;
+}
+
+// Look up a cached prefix page. On hit increfs and returns the id; -1 miss.
+int32_t pa_prefix_lookup(void *h, uint64_t hash) {
+  auto *a = static_cast<PageAllocator *>(h);
+  std::lock_guard<std::mutex> g(a->mu);
+  auto it = a->cache.find(hash);
+  if (it == a->cache.end()) {
+    ++a->misses;
+    return -1;
+  }
+  int id = it->second;
+  if (a->pages[id].refs++ == 0) a->drop_from_lru(id);
+  ++a->hits;
+  return id;
+}
+
+int64_t pa_free_count(void *h) {
+  auto *a = static_cast<PageAllocator *>(h);
+  std::lock_guard<std::mutex> g(a->mu);
+  return static_cast<int64_t>(a->free_list.size());
+}
+
+int64_t pa_cached_count(void *h) {
+  auto *a = static_cast<PageAllocator *>(h);
+  std::lock_guard<std::mutex> g(a->mu);
+  return static_cast<int64_t>(a->cache.size());
+}
+
+// stats: out[0]=hits, out[1]=misses, out[2]=evictions
+void pa_stats(void *h, int64_t *out) {
+  auto *a = static_cast<PageAllocator *>(h);
+  std::lock_guard<std::mutex> g(a->mu);
+  out[0] = a->hits;
+  out[1] = a->misses;
+  out[2] = a->evictions;
 }
 
 }  // extern "C"

@@ -1,0 +1,408 @@
+"""Paged continuous-batching serving engine with prefix caching.
+
+Sits on kernels/paged_kv.py (page-table-indirect INT4 decode attention) and
+the native refcounted page allocator (serving/native, C++).  Compared to
+the contiguous-slot engine (serving/engine.py):
+
+- KV memory is a global PAGE POOL: a slot owns page ids, not a max_seq
+  stripe, so total memory scales with live tokens, not slots x max_seq.
+- PREFIX CACHING (new capability; the reference has no counterpart): pages
+  fully covered by a prompt are registered under a cumulative content hash;
+  a later request sharing that prompt prefix increfs those pages and only
+  prefills its tail, attending to the cached prefix through the pool
+  (chunked prefill).
+- Retired pages park in an LRU and are evicted only under memory pressure.
+
+Correctness contract: a cached page is immutable while shared (appends only
+ever touch pages past the owner's prompt, and only fully-prompt-covered
+pages are inserted into the cache).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rsq_tpu.core.hadamard import hadamard_transform_last
+from rsq_tpu.kernels import paged_kv as PKV
+from rsq_tpu.models import llama as M
+from rsq_tpu.serving.model import (
+    ServingConfig, serving_linear, _attn_out, _mlp, _qkv)
+from rsq_tpu.serving.native import make_page_allocator
+
+_FNV_OFFSET = 0xCBF29CE484222325
+_FNV_PRIME = 0x100000001B3
+
+
+def prefix_hashes(token_ids: np.ndarray, page_size: int) -> list[int]:
+    """Cumulative FNV-1a hash per FULL page of the prompt. hash[j] covers
+    tokens [0, (j+1)*page) — position-dependent, so only true prefixes
+    collide."""
+    out = []
+    h = _FNV_OFFSET
+    n_full = len(token_ids) // page_size
+    for j in range(n_full):
+        chunk = np.asarray(token_ids[j * page_size:(j + 1) * page_size],
+                           np.int64)
+        for t in chunk.tobytes():
+            h = ((h ^ t) * _FNV_PRIME) & (2**64 - 1)
+        out.append(h)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Jitted forwards
+# ---------------------------------------------------------------------------
+
+def _pool_write_pages(pool, layer, page_ids, kq, kp, vq, vp):
+    """Write whole pages into the (L, P, ...) pool at one layer.
+    kq/vq: (H, D/2, n*page); kp/vp: (H, 2, n*page); page_ids: (n,)."""
+    page = pool["kq"].shape[-1]
+    n = page_ids.shape[0]
+    li = jnp.int32(layer)
+    z = jnp.int32(0)
+
+    def split(v):  # (H, x, n*page) -> (n, 1, 1, H, x, page)
+        H, X, S = v.shape
+        v = v.reshape(H, X, n, page)
+        return jnp.moveaxis(v, 2, 0)[:, None, None]
+
+    vals = {"kq": split(kq), "kp": split(kp), "vq": split(vq),
+            "vp": split(vp)}
+    out = dict(pool)
+    for name, chunks in vals.items():
+        arr = out[name]
+        for j in range(n):
+            arr = jax.lax.dynamic_update_slice(
+                arr, chunks[j].astype(arr.dtype),
+                (li, page_ids[j].astype(jnp.int32), z, z, z))
+        out[name] = arr
+    return out
+
+
+def _pool_append_token(pool, layer, page_table, positions, kq, kp, vq, vp):
+    """Append one token per slot. kq/vq: (B, H, D/2, 1); kp/vp: (B, H, 2, 1);
+    page_table: (B, NP); positions: (B,)."""
+    page = pool["kq"].shape[-1]
+    B = positions.shape[0]
+    li = jnp.int32(layer)
+    z = jnp.int32(0)
+    out = dict(pool)
+    for name, val in (("kq", kq), ("kp", kp), ("vq", vq), ("vp", vp)):
+        arr = out[name]
+        for b in range(B):
+            pos = positions[b].astype(jnp.int32)
+            pid = page_table[b, pos // page].astype(jnp.int32)
+            arr = jax.lax.dynamic_update_slice(
+                arr, val[b:b + 1][None].astype(arr.dtype),
+                (li, pid, z, z, pos % page))
+        out[name] = arr
+    return out
+
+
+def _gather_layer_prefix(pool, layer, page_ids):
+    """Dequantize a layer's prefix pages -> (k, v) each (1, S, Hkv, D)."""
+    def grab(qn, pn):
+        qv = pool[qn][layer][page_ids]           # (n, H, D/2, page)
+        pv = pool[pn][layer][page_ids]
+        qv = jnp.moveaxis(qv, 0, -2).reshape(
+            qv.shape[1], qv.shape[2], -1)        # (H, D/2, S)
+        pv = jnp.moveaxis(pv, 0, -2).reshape(pv.shape[1], pv.shape[2], -1)
+        x = PKV.unpack_dequant_head(jnp.swapaxes(qv, -1, -2),
+                                    jnp.swapaxes(pv, -1, -2))  # (H, S, D)
+        return jnp.swapaxes(x, 0, 1)[None]       # (1, S, H, D)
+    return grab("kq", "kp"), grab("vq", "vp")
+
+
+@partial(jax.jit, static_argnames=("sc", "prefix_pages", "prompt_len",
+                                   "prefix_len"))
+def prefill_paged(params, pool, page_row, input_tail, sc: ServingConfig,
+                  prefix_pages: int, prefix_len: int, prompt_len: int):
+    """Chunked prefill: run the prompt TAIL (everything past the cached
+    prefix), attending to [cached prefix ++ tail], and write the tail's
+    K/V into this request's pages.
+
+    page_row:   (NP,) int32 — the request's page table row.
+    input_tail: (1, St_pad) tail token ids, zero-padded to a page multiple.
+    prefix_len: tokens covered by reused pages (= prefix_pages * page).
+    prompt_len: true prompt length (logits read at this position - 1).
+    Returns (last-token logits, pool).
+    """
+    cfg = sc.cfg
+    page = pool["kq"].shape[-1]
+    st = input_tail.shape[1]
+    assert st % page == 0
+    n_tail_pages = st // page
+    x = params["embed"][input_tail].astype(jnp.bfloat16)
+    positions = prefix_len + jnp.arange(st)
+    cos, sin = M.rope_tables(cfg, positions)
+    # causal mask over global positions; prefix keys fully visible
+    qpos = positions[:, None]
+    kpos = jnp.arange(prefix_len + st)[None, :]
+    mask = jnp.where(kpos <= qpos, 0.0, -1e30).astype(jnp.float32)
+    nrep = cfg.num_attention_heads // cfg.num_key_value_heads
+    tail_ids = page_row[prefix_pages:prefix_pages + n_tail_pages]
+
+    for i, lp in enumerate(params["layers"]):
+        h = M.rms_norm(x, lp.get("input_norm"), cfg.rms_norm_eps)
+        q, k, v = _qkv(lp, h, cfg, sc)
+        q = M.apply_rope(q, cos, sin)
+        k = M.apply_rope(k, cos, sin)
+
+        # cache basis: per-head Hadamard on K (and q at read time)
+        kb = jnp.swapaxes(k, 1, 2)               # (1, H, St, D)
+        vb = jnp.swapaxes(v, 1, 2)
+        if sc.kv_int4:
+            kq_, kp_ = PKV.quantize_prompt(kb, hadamard=sc.kv_hadamard)
+            vq_, vp_ = PKV.quantize_prompt(vb, hadamard=False)
+            pool = _pool_write_pages(pool, i, tail_ids,
+                                     kq_[0], kp_[0], vq_[0], vp_[0])
+            if prefix_pages:
+                qr = (hadamard_transform_last(jnp.swapaxes(q, 1, 2))
+                      if sc.kv_hadamard else jnp.swapaxes(q, 1, 2))
+                qr = jnp.swapaxes(qr, 1, 2)      # rotated q (1, St, Hq, D)
+                kr = hadamard_transform_last(kb) if sc.kv_hadamard else kb
+                kr = jnp.swapaxes(kr, 1, 2)      # rotated tail K
+                pk, pv = _gather_layer_prefix(pool, i,
+                                              page_row[:prefix_pages])
+                keys = jnp.concatenate([pk.astype(qr.dtype),
+                                        kr.astype(qr.dtype)], axis=1)
+                vals = jnp.concatenate([pv.astype(qr.dtype),
+                                        vb.swapaxes(1, 2).astype(qr.dtype)],
+                                       axis=1)
+                attn = M.attention(qr, M.repeat_kv(keys, nrep),
+                                   M.repeat_kv(vals, nrep), mask)
+            else:
+                attn = M.attention(q, M.repeat_kv(k, nrep),
+                                   M.repeat_kv(v, nrep),
+                                   mask[:, prefix_len:])
+        else:
+            raise NotImplementedError("paged engine requires kv_int4")
+        attn = attn.reshape(1, st, -1)
+        x = x + _attn_out(lp, attn, cfg, sc)
+        h2 = M.rms_norm(x, lp.get("post_norm"), cfg.rms_norm_eps)
+        x = x + _mlp(lp, h2, cfg, sc)
+
+    last = prompt_len - prefix_len - 1  # static
+    x = M.rms_norm(x[:, last:last + 1], params.get("final_norm"),
+                   cfg.rms_norm_eps)
+    logits = (x @ params["lm_head"].astype(x.dtype))[0, 0]
+    return logits, pool
+
+
+@partial(jax.jit, static_argnames=("sc",))
+def decode_step_paged(params, pool, page_tables, lengths, token_ids,
+                      sc: ServingConfig):
+    """One joint decode step over all slots. lengths: (B,) tokens already
+    in cache per slot; token_ids: (B,). Returns (logits (B, V), pool)."""
+    cfg = sc.cfg
+    B = token_ids.shape[0]
+    hd = cfg.head_dim_
+    x = params["embed"][token_ids][:, None, :].astype(jnp.bfloat16)
+    cos_t, sin_t = M.rope_tables(cfg, jnp.arange(sc.max_seq))
+    cos = cos_t[lengths][:, None, :]
+    sin = sin_t[lengths][:, None, :]
+
+    for i, lp in enumerate(params["layers"]):
+        h = M.rms_norm(x, lp.get("input_norm"), cfg.rms_norm_eps)
+        q, k, v = _qkv(lp, h, cfg, sc)
+        q = M.apply_rope(q, cos, sin)
+        k = M.apply_rope(k, cos, sin)
+        kb = jnp.swapaxes(k, 1, 2)               # (B, H, 1, D)
+        vb = jnp.swapaxes(v, 1, 2)
+        if sc.kv_hadamard:
+            kb = hadamard_transform_last(kb)
+        kq_, kp_ = PKV.to_lane_major(*PKV.asym_quant_pack_head(kb))
+        vq_, vp_ = PKV.to_lane_major(*PKV.asym_quant_pack_head(vb))
+        pool = _pool_append_token(pool, i, page_tables, lengths,
+                                  kq_, kp_, vq_, vp_)
+        qh = q.reshape(B, -1, hd)
+        if sc.kv_hadamard:
+            qh = hadamard_transform_last(qh)
+        attn = PKV.int4_paged_decode_attention(
+            qh, pool["kq"][i], pool["kp"][i], pool["vq"][i], pool["vp"][i],
+            page_tables, lengths + 1)
+        attn = attn.reshape(B, 1, -1)
+        x = x + _attn_out(lp, attn, cfg, sc)
+        h2 = M.rms_norm(x, lp.get("post_norm"), cfg.rms_norm_eps)
+        x = x + _mlp(lp, h2, cfg, sc)
+
+    x = M.rms_norm(x, params.get("final_norm"), cfg.rms_norm_eps)
+    logits = (x @ params["lm_head"].astype(x.dtype))[:, 0]
+    return logits, pool
+
+
+# ---------------------------------------------------------------------------
+# Engine
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class PagedRequest:
+    uid: int
+    prompt_ids: np.ndarray
+    max_new_tokens: int
+    output: list = dataclasses.field(default_factory=list)
+    pages: list = dataclasses.field(default_factory=list)
+    reused_pages: int = 0
+    done: bool = False
+
+
+class PagedServingEngine:
+    """Continuous batching over a shared page pool with prefix caching."""
+
+    def __init__(self, params, sc: ServingConfig, num_slots: int = 8,
+                 num_pages: int | None = None, page_size: int = 128,
+                 eos_token: int | None = None,
+                 prefix_caching: bool = True):
+        assert sc.kv_int4, "paged engine serves the INT4 cache"
+        cfg = sc.cfg
+        self.params = params
+        self.sc = sc
+        self.page = page_size
+        self.np_per_slot = -(-sc.max_seq // page_size)
+        self.num_slots = num_slots
+        self.eos = eos_token
+        self.prefix_caching = prefix_caching
+        if num_pages is None:
+            num_pages = num_slots * self.np_per_slot + 1
+        self.pool = PKV.init_pool(cfg.num_layers, num_pages,
+                                  cfg.num_key_value_heads, cfg.head_dim_,
+                                  page_size)
+        self.alloc = make_page_allocator(num_pages)
+        # permanent scratch page: empty slots' rows point here so their
+        # garbage appends never touch a live page
+        self.null_page = self.alloc.alloc(1)[0]
+        self.page_tables = np.full((num_slots, self.np_per_slot),
+                                   self.null_page, np.int32)
+        self.lengths = np.zeros((num_slots,), np.int32)
+        self.slots: list[PagedRequest | None] = [None] * num_slots
+        self.queue: list[PagedRequest] = []
+        self.next_tok = np.zeros((num_slots,), np.int32)
+        self._uid = 0
+
+    # -- admission ----------------------------------------------------------
+
+    def add_request(self, prompt_ids, max_new_tokens: int = 32) -> int:
+        self._uid += 1
+        req = PagedRequest(self._uid, np.asarray(prompt_ids, np.int32),
+                           max_new_tokens)
+        self.queue.append(req)
+        return req.uid
+
+    def _admit_one(self, req: PagedRequest, slot: int) -> bool:
+        plen = len(req.prompt_ids)
+        total = min(plen + req.max_new_tokens, self.sc.max_seq)
+        need_total = -(-total // self.page)
+
+        reused: list[int] = []
+        if self.prefix_caching:
+            # reuse at most the pages strictly before the last prompt token
+            # so the tail prefill always has >= 1 real token
+            limit = (plen - 1) // self.page
+            for h in prefix_hashes(req.prompt_ids, self.page)[:limit]:
+                pid = self.alloc.prefix_lookup(h)
+                if pid < 0:
+                    break
+                reused.append(pid)
+
+        fresh = self.alloc.alloc(need_total - len(reused))
+        if fresh is None:
+            for pid in reused:
+                self.alloc.decref(pid)
+            return False
+
+        pages = reused + fresh
+        prefix_pages = len(reused)
+        prefix_len = prefix_pages * self.page
+        tail = req.prompt_ids[prefix_len:]
+        st_pad = -(-len(tail) // self.page) * self.page
+        tail_pad = np.zeros((1, st_pad), np.int32)
+        tail_pad[0, :len(tail)] = tail
+
+        row = np.full((self.np_per_slot,), self.null_page, np.int32)
+        row[:len(pages)] = pages
+        logits, self.pool = prefill_paged(
+            self.params, self.pool, jnp.asarray(row),
+            jnp.asarray(tail_pad), self.sc,
+            prefix_pages=prefix_pages, prefix_len=prefix_len,
+            prompt_len=plen)
+
+        if self.prefix_caching:
+            # register every fully-prompt-covered page (canonicalizing to
+            # an already-cached duplicate if one raced us)
+            hashes = prefix_hashes(req.prompt_ids, self.page)
+            for j, h in enumerate(hashes):
+                if j < len(pages):
+                    canon = self.alloc.prefix_insert(h, pages[j])
+                    if canon != pages[j]:
+                        pass  # duplicate content; keep ours (still owned)
+
+        tok = int(jnp.argmax(logits))
+        req.output.append(tok)
+        req.pages = pages
+        req.reused_pages = prefix_pages
+        self.slots[slot] = req
+        self.page_tables[slot] = row
+        self.lengths[slot] = plen
+        self.next_tok[slot] = tok
+        return True
+
+    def _admit(self):
+        for slot in range(self.num_slots):
+            if self.slots[slot] is None and self.queue:
+                if not self._admit_one(self.queue[0], slot):
+                    break  # page pressure: wait for retirements
+                self.queue.pop(0)
+
+    def _retire(self, slot: int):
+        req = self.slots[slot]
+        req.done = True
+        for pid in req.pages:
+            self.alloc.decref(pid)
+        self.slots[slot] = None
+        self.page_tables[slot] = self.null_page
+        self.lengths[slot] = 0
+
+    # -- stepping -----------------------------------------------------------
+
+    def step(self) -> list[PagedRequest]:
+        self._admit()
+        if all(s is None for s in self.slots):
+            return []
+        logits, self.pool = decode_step_paged(
+            self.params, self.pool, jnp.asarray(self.page_tables),
+            jnp.asarray(self.lengths), jnp.asarray(self.next_tok), self.sc)
+        self.lengths += 1
+        toks = np.asarray(jnp.argmax(logits, axis=-1))
+        finished = []
+        for slot, req in enumerate(self.slots):
+            if req is None:
+                continue
+            tok = int(toks[slot])
+            req.output.append(tok)
+            self.next_tok[slot] = tok
+            hit_eos = self.eos is not None and tok == self.eos
+            if (len(req.output) >= req.max_new_tokens or hit_eos
+                    or int(self.lengths[slot]) + 1 >= self.sc.max_seq):
+                finished.append(req)
+                self._retire(slot)
+        return finished
+
+    def run_until_done(self, max_steps: int = 10_000) -> list[PagedRequest]:
+        done = []
+        for _ in range(max_steps):
+            done += self.step()
+            if not self.queue and all(s is None for s in self.slots):
+                break
+        return done
+
+    @property
+    def cache_stats(self) -> dict:
+        s = self.alloc.stats
+        s["free_pages"] = self.alloc.free_count
+        s["cached_pages"] = self.alloc.cached_count
+        return s

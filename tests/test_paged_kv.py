@@ -1,0 +1,133 @@
+"""Paged INT4 KV decode: kernel vs oracle, page writes, prefix sharing."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rsq_tpu.kernels import kv_cache as KVK
+from rsq_tpu.kernels import paged_kv as PKV
+
+
+def _random_pool(rng, P, H, D, page):
+    kq = jnp.asarray(rng.integers(0, 256, size=(P, H, D // 2, page),
+                                  dtype=np.uint8))
+    kp = jnp.asarray(
+        np.stack([rng.uniform(0.01, 0.2, size=(P, H, page)),
+                  rng.uniform(-0.5, 0.5, size=(P, H, page))],
+                 axis=2).astype(np.float32))
+    vq = jnp.asarray(rng.integers(0, 256, size=(P, H, D // 2, page),
+                                  dtype=np.uint8))
+    vp = jnp.asarray(
+        np.stack([rng.uniform(0.01, 0.2, size=(P, H, page)),
+                  rng.uniform(-0.5, 0.5, size=(P, H, page))],
+                 axis=2).astype(np.float32))
+    return kq, kp, vq, vp
+
+
+@pytest.mark.parametrize("G", [1, 4])
+def test_paged_decode_matches_oracle(G):
+    rng = np.random.default_rng(0)
+    B, Hkv, D, page, P, NP = 3, 2, 64, 128, 16, 4
+    Hq = Hkv * G
+    kq, kp, vq, vp = _random_pool(rng, P, Hkv, D, page)
+    # shuffled, non-contiguous page assignment; slots 0 and 1 SHARE their
+    # first page (prefix sharing)
+    ptab = np.array([[7, 3, 11, 0],
+                     [7, 5, 0, 0],
+                     [2, 9, 14, 1]], dtype=np.int32)
+    lengths = np.array([page * 2 + 17, page + 3, page * 4], dtype=np.int32)
+    q = jnp.asarray(rng.standard_normal((B, Hq, D)).astype(np.float32))
+
+    out = PKV.int4_paged_decode_attention(
+        q, kq, kp, vq, vp, jnp.asarray(ptab), jnp.asarray(lengths))
+    ref = PKV.int4_paged_decode_attention_reference(
+        q, kq, kp, vq, vp, jnp.asarray(ptab), jnp.asarray(lengths))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_paged_matches_contiguous_kernel():
+    """Identity page table == the contiguous-slot kernel."""
+    rng = np.random.default_rng(1)
+    B, Hkv, D, page, NP = 2, 2, 64, 128, 3
+    S = NP * page
+    P = B * NP
+    kq, kp, vq, vp = _random_pool(rng, P, Hkv, D, page)
+    ptab = jnp.arange(P, dtype=jnp.int32).reshape(B, NP)
+    lengths = jnp.asarray([S - 40, 2 * page], dtype=jnp.int32)
+    q = jnp.asarray(rng.standard_normal((B, Hkv, D)).astype(np.float32))
+
+    paged = PKV.int4_paged_decode_attention(q, kq, kp, vq, vp, ptab, lengths)
+
+    def contig(pool):  # (B*NP, H, x, page) -> (B, H, x, S)
+        g = pool.reshape(B, NP, Hkv, pool.shape[2], page)
+        return jnp.moveaxis(g, 1, -2).reshape(B, Hkv, pool.shape[2], S)
+
+    # chunk sizes differ (page vs min(512, S)) so the online-softmax
+    # accumulation order differs -> small fp32 drift, not a layout bug
+    cont = KVK.int4_decode_attention(
+        q, contig(kq), contig(kp), contig(vq), contig(vp), lengths)
+    np.testing.assert_allclose(np.asarray(paged), np.asarray(cont),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_write_prompt_and_append_roundtrip():
+    rng = np.random.default_rng(2)
+    Hkv, D, page, P = 2, 64, 128, 8
+    pool = PKV.init_pool(1, P, Hkv, D, page)
+    psl = {k: v[0] for k, v in pool.items()}
+
+    s_prompt = 2 * page
+    k = jnp.asarray(rng.standard_normal((1, Hkv, s_prompt, D))
+                    .astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((1, Hkv, s_prompt, D))
+                    .astype(np.float32))
+    kq, kp = PKV.quantize_prompt(k, hadamard=False)
+    vq, vp = PKV.quantize_prompt(v, hadamard=False)
+    page_ids = jnp.asarray([5, 2], dtype=jnp.int32)  # non-contiguous
+    psl = PKV.write_prompt_pages(psl, page_ids, kq[0], kp[0], vq[0], vp[0])
+
+    # append one more token at position s_prompt (needs a third page)
+    ptab = jnp.asarray([[5, 2, 7, 0]], dtype=jnp.int32)
+    knew = jnp.asarray(rng.standard_normal((1, Hkv, 1, D)).astype(np.float32))
+    vnew = jnp.asarray(rng.standard_normal((1, Hkv, 1, D)).astype(np.float32))
+    nkq, nkp = PKV.quantize_prompt(knew, hadamard=False)
+    nvq, nvp = PKV.quantize_prompt(vnew, hadamard=False)
+    psl = PKV.append_token_pages(psl, ptab,
+                                 jnp.asarray([s_prompt], jnp.int32),
+                                 nkq, nkp, nvq, nvp)
+
+    kg, vg = PKV.gather_prefix(psl, ptab[0, :3])
+    kfull = jnp.concatenate([k[0], PKV.unpack_dequant_head(
+        *map(lambda t: jnp.swapaxes(t[0], -1, -2), (nkq, nkp)))], axis=1)
+    # cached K/V round-trips within int4 quantization error
+    err = np.abs(np.asarray(kg[:, :s_prompt + 1]) - np.asarray(kfull))
+    scale = np.asarray(kp[0, :, 0, :]).max()
+    assert err.max() <= scale * 1.01 + 1e-5
+
+    # decode over the written pages == oracle
+    q = jnp.asarray(rng.standard_normal((1, Hkv, D)).astype(np.float32))
+    lengths = jnp.asarray([s_prompt + 1], jnp.int32)
+    pools = {k: v[None] for k, v in psl.items()}  # wrap P axis? no—
+    out = PKV.int4_paged_decode_attention(
+        q, psl["kq"], psl["kp"], psl["vq"], psl["vp"], ptab, lengths)
+    ref = PKV.int4_paged_decode_attention_reference(
+        q, psl["kq"], psl["kp"], psl["vq"], psl["vp"], ptab, lengths)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-3, atol=2e-3)
+    del pools
+
+
+def test_shared_prefix_page_gives_identical_attention():
+    """Two slots sharing their prefix page attend identically to it."""
+    rng = np.random.default_rng(3)
+    Hkv, D, page, P = 2, 64, 128, 6
+    kq, kp, vq, vp = _random_pool(rng, P, Hkv, D, page)
+    ptab = jnp.asarray([[4, 1], [4, 2]], dtype=jnp.int32)
+    lengths = jnp.asarray([page, page], jnp.int32)  # only the shared page
+    q1 = rng.standard_normal((1, Hkv, D)).astype(np.float32)
+    q = jnp.asarray(np.concatenate([q1, q1], axis=0))
+    out = PKV.int4_paged_decode_attention(q, kq, kp, vq, vp, ptab, lengths)
+    np.testing.assert_allclose(np.asarray(out[0]), np.asarray(out[1]),
+                               rtol=1e-6, atol=1e-6)
