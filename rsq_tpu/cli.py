@@ -114,8 +114,11 @@ def _load_model(name: str, seed: int):
              "qwen25-7b": ModelConfig.qwen25_7b,
              "mistral-nemo": ModelConfig.mistral_nemo,
              "opt-125m": ModelConfig.opt_125m,
+             "gemma2-9b": ModelConfig.gemma2_9b,
+             "gemma2-27b": ModelConfig.gemma2_27b,
              "tiny": ModelConfig.tiny,
-             "tiny-opt": ModelConfig.tiny_opt}
+             "tiny-opt": ModelConfig.tiny_opt,
+             "tiny-gemma2": ModelConfig.tiny_gemma2}
     if name in named:
         cfg = named[name]()
         params = family.init_params(cfg, jax.random.PRNGKey(seed),

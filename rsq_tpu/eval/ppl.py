@@ -53,9 +53,9 @@ def ppl_fullmodel(params, cfg: ModelConfig, policy: QuantPolicy,
     return ppl
 
 
-@partial(jax.jit, static_argnames=("cfg", "policy"))
-def _layer_batch(lp, x, cos, sin, cfg, policy, mask):
-    return M.layer_forward(lp, x, cos, sin, cfg, policy, mask)
+@partial(jax.jit, static_argnames=("cfg", "policy", "layer"))
+def _layer_batch(lp, x, cos, sin, cfg, policy, mask, layer=0):
+    return M.layer_forward(lp, x, cos, sin, cfg, policy, mask, layer=layer)
 
 
 @partial(jax.jit, static_argnames=("cfg", "policy"))
@@ -78,14 +78,16 @@ def ppl_streamed(params, cfg: ModelConfig, policy: QuantPolicy,
     batches = [jnp.asarray(ids[s: s + bsz]) for s in range(0, nsamples, bsz)]
 
     cos, sin = M.pos_tables(cfg, jnp.arange(val_seqlen))
-    from rsq_tpu.models import llama
-    mask = llama.causal_mask(val_seqlen)
+    # mask=None: each family builds its own causal (+ sliding-window) mask,
+    # and the llama path picks flash-chunked attention for long seqlens
+    mask = None
     emb = jax.jit(M.embed, static_argnames=("cfg",))
     acts = [np.asarray(emb(params, b, cfg=cfg)) for b in batches]
     for i, lp in enumerate(params["layers"]):
         for j in range(len(batches)):
             acts[j] = np.asarray(_layer_batch(
-                lp, jnp.asarray(acts[j]), cos, sin, cfg, policy, mask))
+                lp, jnp.asarray(acts[j]), cos, sin, cfg, policy, mask,
+                layer=i))
     nlls = [np.asarray(_head_nll(params, jnp.asarray(acts[j]), batches[j],
                                  cfg, policy))
             for j in range(len(batches))]

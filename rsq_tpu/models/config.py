@@ -36,7 +36,12 @@ class ModelConfig:
     attention_bias: bool = False          # True for Qwen2.5
     tie_word_embeddings: bool = False
     max_position_embeddings: int = 8192
-    family: str = "llama"                 # llama | qwen2 | mistral | opt
+    family: str = "llama"                 # llama | qwen2 | mistral | opt | gemma2
+    # Gemma-2 (google/gemma-2-*) specifics; None everywhere else
+    query_pre_attn_scalar: float | None = None   # attn scale = this**-0.5
+    attn_logit_softcap: float | None = None      # tanh(x/c)*c on attn logits
+    final_logit_softcap: float | None = None     # tanh(x/c)*c on lm logits
+    sliding_window: int | None = None            # even layers (HF layout)
 
     @property
     def head_dim_(self) -> int:
@@ -154,6 +159,45 @@ class ModelConfig:
             num_attention_heads=num_attention_heads,
             num_key_value_heads=num_attention_heads, attention_bias=True,
             max_position_embeddings=512, family="opt", **kw)
+
+    @staticmethod
+    def gemma2_9b() -> "ModelConfig":
+        """google/gemma-2-9b-it (reference supported list, utils.py:22)."""
+        return ModelConfig(
+            vocab_size=256000, hidden_size=3584, intermediate_size=14336,
+            num_layers=42, num_attention_heads=16, num_key_value_heads=8,
+            head_dim=256, rope_theta=10000.0, rms_norm_eps=1e-6,
+            tie_word_embeddings=True, max_position_embeddings=8192,
+            family="gemma2", query_pre_attn_scalar=256.0,
+            attn_logit_softcap=50.0, final_logit_softcap=30.0,
+            sliding_window=4096)
+
+    @staticmethod
+    def gemma2_27b() -> "ModelConfig":
+        """google/gemma-2-27b-it (reference supported list, utils.py:23)."""
+        return ModelConfig(
+            vocab_size=256000, hidden_size=4608, intermediate_size=36864,
+            num_layers=46, num_attention_heads=32, num_key_value_heads=16,
+            head_dim=128, rope_theta=10000.0, rms_norm_eps=1e-6,
+            tie_word_embeddings=True, max_position_embeddings=8192,
+            family="gemma2", query_pre_attn_scalar=144.0,
+            attn_logit_softcap=50.0, final_logit_softcap=30.0,
+            sliding_window=4096)
+
+    @staticmethod
+    def tiny_gemma2(vocab_size=256, hidden_size=64, intermediate_size=112,
+                    num_layers=2, num_attention_heads=4,
+                    num_key_value_heads=2, **kw) -> "ModelConfig":
+        return ModelConfig(
+            vocab_size=vocab_size, hidden_size=hidden_size,
+            intermediate_size=intermediate_size, num_layers=num_layers,
+            num_attention_heads=num_attention_heads,
+            num_key_value_heads=num_key_value_heads, rms_norm_eps=1e-6,
+            tie_word_embeddings=True, max_position_embeddings=512,
+            family="gemma2", query_pre_attn_scalar=float(
+                kw.pop("query_pre_attn_scalar", 24.0)),
+            attn_logit_softcap=50.0, final_logit_softcap=30.0,
+            sliding_window=kw.pop("sliding_window", 8), **kw)
 
     @staticmethod
     def mistral_7b() -> "ModelConfig":

@@ -1,21 +1,28 @@
-"""Family dispatch: one call surface over the Llama-family and OPT decoders.
+"""Family dispatch: one call surface over the Llama-family, OPT and Gemma-2
+decoders.
 
 The reference threads `model_type` through every helper
 (fake_quant/model_utils.py:112-181); here the family is a static field of
 the (hashable, frozen) ModelConfig, so dispatch happens at trace time and
-jitted callers specialize per family for free.
+jitted callers specialize per family for free.  `layer` threads the layer
+index to families whose forward depends on it (Gemma-2's alternating
+sliding-window attention); Llama/OPT ignore it.
 """
 
 from __future__ import annotations
 
 import jax.numpy as jnp
 
-from rsq_tpu.models import llama, opt
+from rsq_tpu.models import gemma2, llama, opt
 from rsq_tpu.models.config import ModelConfig
 
 
 def module_for(cfg: ModelConfig):
-    return opt if cfg.family == "opt" else llama
+    if cfg.family == "opt":
+        return opt
+    if cfg.family == "gemma2":
+        return gemma2
+    return llama
 
 
 def groups_for(cfg: ModelConfig) -> tuple[tuple[str, ...], ...]:
@@ -40,20 +47,28 @@ def pos_tables(cfg: ModelConfig, positions):
 def embed(params, input_ids, cfg: ModelConfig):
     if cfg.family == "opt":
         return opt.embed(params, input_ids, cfg)
+    if cfg.family == "gemma2":
+        return gemma2.embed(params, input_ids, cfg)
     return llama.embed(params, input_ids)
 
 
 def layer_forward(lp, x, cos, sin, cfg: ModelConfig, policy, mask=None,
-                  return_probs: bool = False):
+                  return_probs: bool = False, layer: int = 0):
     return module_for(cfg).layer_forward(lp, x, cos, sin, cfg, policy,
-                                         mask, return_probs)
+                                         mask, return_probs, layer=layer)
 
 
-def group_input(lp, x, cos, sin, cfg: ModelConfig, policy, group, mask=None):
+def group_input(lp, x, cos, sin, cfg: ModelConfig, policy, group, mask=None,
+                layer: int = 0):
     if cfg.family == "opt":
-        return opt.group_input(lp, x, cos, sin, cfg, policy, group, mask)
+        return opt.group_input(lp, x, cos, sin, cfg, policy, group, mask,
+                               layer=layer)
+    if cfg.family == "gemma2":
+        return gemma2.group_input(lp, x, cos, sin, cfg, policy, group, mask,
+                                  layer=layer)
     from rsq_tpu.quantize.pipeline import group_input as llama_group_input
-    return llama_group_input(lp, x, cos, sin, cfg, policy, group, mask)
+    return llama_group_input(lp, x, cos, sin, cfg, policy, group, mask,
+                             layer=layer)
 
 
 def head(params, x, cfg: ModelConfig):

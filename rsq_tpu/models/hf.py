@@ -29,7 +29,26 @@ _LAYER_KEYS = {
 def config_from_hf(hf_config) -> ModelConfig:
     """Map a transformers config (Llama/Qwen2/Mistral/OPT) onto ModelConfig."""
     family = {"llama": "llama", "qwen2": "qwen2", "mistral": "mistral",
-              "opt": "opt"}.get(hf_config.model_type, "llama")
+              "opt": "opt", "gemma2": "gemma2"}.get(
+                  hf_config.model_type, "llama")
+    if family == "gemma2":
+        return ModelConfig(
+            vocab_size=hf_config.vocab_size,
+            hidden_size=hf_config.hidden_size,
+            intermediate_size=hf_config.intermediate_size,
+            num_layers=hf_config.num_hidden_layers,
+            num_attention_heads=hf_config.num_attention_heads,
+            num_key_value_heads=hf_config.num_key_value_heads,
+            head_dim=hf_config.head_dim,
+            rope_theta=getattr(hf_config, "rope_theta", 10000.0),
+            rms_norm_eps=hf_config.rms_norm_eps,
+            tie_word_embeddings=True,
+            max_position_embeddings=hf_config.max_position_embeddings,
+            family="gemma2",
+            query_pre_attn_scalar=float(hf_config.query_pre_attn_scalar),
+            attn_logit_softcap=hf_config.attn_logit_softcapping,
+            final_logit_softcap=hf_config.final_logit_softcapping,
+            sliding_window=hf_config.sliding_window)
     if family == "opt":
         assert getattr(hf_config, "do_layer_norm_before", True), \
             "pre-LN OPT variants only (opt-350m is post-LN)"
@@ -92,6 +111,8 @@ def params_from_state_dict(sd, cfg: ModelConfig, dtype=np.float32):
 
     if cfg.family == "opt":
         return _opt_params_from_state_dict(sd, cfg, get, lin)
+    if cfg.family == "gemma2":
+        return _gemma2_params_from_state_dict(sd, cfg, get, lin)
 
     layers = []
     for i in range(cfg.num_layers):
@@ -151,6 +172,35 @@ def _opt_params_from_state_dict(sd, cfg, get, lin):
         "layers": layers,
         "final_norm": norm("model.decoder.final_layer_norm"),
         "lm_head": jnp.asarray(lm_head),
+    }
+
+
+_GEMMA2_NORM_KEYS = {
+    "input_norm": "input_layernorm",
+    "post_attn_norm": "post_attention_layernorm",
+    "pre_ff_norm": "pre_feedforward_layernorm",
+    "post_ff_norm": "post_feedforward_layernorm",
+}
+
+
+def _gemma2_params_from_state_dict(sd, cfg, get, lin):
+    import jax.numpy as jnp
+
+    layers = []
+    for i in range(cfg.num_layers):
+        base = f"model.layers.{i}."
+        lp = {name: lin(base + hf_name)
+              for name, hf_name in _LAYER_KEYS.items()}
+        for name, hf_name in _GEMMA2_NORM_KEYS.items():
+            lp[name] = jnp.asarray(get(base + hf_name + ".weight"))
+        layers.append(lp)
+
+    embed = get("model.embed_tokens.weight")
+    return {
+        "embed": jnp.asarray(embed),
+        "layers": layers,
+        "final_norm": jnp.asarray(get("model.norm.weight")),
+        "lm_head": jnp.asarray(embed.T.copy()),  # always tied
     }
 
 

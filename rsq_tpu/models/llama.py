@@ -282,8 +282,9 @@ def mlp_block(lp, h, policy: QuantPolicy):
 
 
 def layer_forward(lp, x, cos, sin, cfg: ModelConfig, policy: QuantPolicy,
-                  mask=None, return_probs: bool = False):
-    """One decoder layer. x: (b, s, d)."""
+                  mask=None, return_probs: bool = False, layer: int = 0):
+    """One decoder layer. x: (b, s, d). `layer` is accepted for family-
+    dispatch parity (Gemma-2 alternates sliding-window layers); unused."""
     h = rms_norm(x, lp.get("input_norm"), cfg.rms_norm_eps)
     attn_out, probs = attn_block(lp, h, cos, sin, cfg, policy, mask, return_probs)
     x = x + attn_out

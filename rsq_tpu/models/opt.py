@@ -112,8 +112,8 @@ def mlp_block(lp, h, policy: QuantPolicy):
 
 
 def layer_forward(lp, x, cos, sin, cfg: ModelConfig, policy: QuantPolicy,
-                  mask=None, return_probs: bool = False):
-    """One decoder layer (cos/sin accepted for signature parity; unused)."""
+                  mask=None, return_probs: bool = False, layer: int = 0):
+    """One decoder layer (cos/sin/layer accepted for signature parity)."""
     h = layer_norm(x, lp.get("input_norm"), cfg.rms_norm_eps)
     attn_out, probs = attn_block(lp, h, cfg, policy, mask, return_probs)
     x = x + attn_out
@@ -125,7 +125,7 @@ def layer_forward(lp, x, cos, sin, cfg: ModelConfig, policy: QuantPolicy,
 
 
 def group_input(lp, x, cos, sin, cfg: ModelConfig, policy: QuantPolicy,
-                group: tuple[str, ...], mask=None):
+                group: tuple[str, ...], mask=None, layer: int = 0):
     """Activation feeding `group`'s linears (pipeline capture points, after
     online Hadamards; see quantize/pipeline.group_input)."""
     h = layer_norm(x, lp.get("input_norm"), cfg.rms_norm_eps)

@@ -72,7 +72,7 @@ class RSQConfig:
 # ---------------------------------------------------------------------------
 
 def group_input(lp, x, cos, sin, cfg: ModelConfig, policy: QuantPolicy,
-                group: tuple[str, ...], mask=None):
+                group: tuple[str, ...], mask=None, layer: int = 0):
     """The activation that feeds `group`'s linears, under current weights.
 
     Capture points sit AFTER the online Hadamards (the reference hooks the
@@ -114,8 +114,9 @@ def group_input(lp, x, cos, sin, cfg: ModelConfig, policy: QuantPolicy,
     return act
 
 
-@partial(jax.jit, static_argnames=("cfg", "policy", "group"))
-def _hessian_accumulate(H, lp, x, w, cos, sin, cfg, policy, group, mask):
+@partial(jax.jit, static_argnames=("cfg", "policy", "group", "layer"))
+def _hessian_accumulate(H, lp, x, w, cos, sin, cfg, policy, group, mask,
+                        layer=0):
     """A chunk of samples' Hessian contribution for `group`, fused with the
     layer sub-forward. x: (C, L, d); w: (C, L) normalized token weights
     (zero rows = padding samples contribute nothing)."""
@@ -124,16 +125,18 @@ def _hessian_accumulate(H, lp, x, w, cos, sin, cfg, policy, group, mask):
         x = x[None]
     if w.ndim == 1:
         w = w[None]
-    inp = family.group_input(lp, x, cos, sin, cfg, policy, group, mask)
+    inp = family.group_input(lp, x, cos, sin, cfg, policy, group, mask,
+                             layer=layer)
     inp = inp.astype(jnp.float32) * jnp.sqrt(w)[:, :, None]
     return H + jnp.einsum("cld,cle->de", inp, inp,
                           preferred_element_type=jnp.float32)
 
 
-@partial(jax.jit, static_argnames=("cfg", "policy"))
-def _layer_out(lp, x, cos, sin, cfg, policy, mask):
+@partial(jax.jit, static_argnames=("cfg", "policy", "layer"))
+def _layer_out(lp, x, cos, sin, cfg, policy, mask, layer=0):
     from rsq_tpu.models import family
-    return family.layer_forward(lp, x, cos, sin, cfg, policy, mask)
+    return family.layer_forward(lp, x, cos, sin, cfg, policy, mask,
+                                layer=layer)
 
 
 # ---------------------------------------------------------------------------
@@ -206,12 +209,14 @@ def quantize_model(params, cfg: ModelConfig, rsq: RSQConfig, calib_ids,
         if rsq.weighting is not None:
             outs = np.stack([
                 np.asarray(_layer_out(lp, jnp.asarray(inps[j:j + 1]),
-                                      cos, sin, cfg, policy, mask)[0])
+                                      cos, sin, cfg, policy, mask,
+                                      layer=i)[0])
                 for j in range(n)])
             batch_w = np.stack([
                 np.asarray(compute_sample_weight(
                     lp, jnp.asarray(inps[j]), jnp.asarray(outs[j]),
-                    jnp.asarray(token_freq[j]), cfg, policy, rsq.weighting))
+                    jnp.asarray(token_freq[j]), cfg, policy, rsq.weighting,
+                    layer=i))
                 for j in range(n)])
             del outs
         else:
@@ -240,7 +245,7 @@ def quantize_model(params, cfg: ModelConfig, rsq: RSQConfig, calib_ids,
                 H = _hessian_accumulate(
                     H, lp, jnp.asarray(inps_p[j:j + chunk]),
                     jnp.asarray(wts_p[j:j + chunk]),
-                    cos, sin, cfg, policy, group, mask)
+                    cos, sin, cfg, policy, group, mask, layer=i)
             H = H * (2.0 / n)
 
             for name in names:
@@ -269,7 +274,8 @@ def quantize_model(params, cfg: ModelConfig, rsq: RSQConfig, calib_ids,
         while j < n:
             c = min(chunk, n - j)
             inps[j:j + c] = np.asarray(_layer_out(
-                lp, jnp.asarray(inps[j:j + c]), cos, sin, cfg, policy, mask))
+                lp, jnp.asarray(inps[j:j + c]), cos, sin, cfg, policy, mask,
+                layer=i))
             j += c
         new_layers.append(lp)
         logger.info("layer %d quantized in %.1fs", i,

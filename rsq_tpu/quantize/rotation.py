@@ -209,6 +209,16 @@ def rotate_model(params, cfg: ModelConfig, mode: str = "hadamard",
                  seed: int = 0):
     """fuse_norms + rotate with a fresh random orthogonal Q
     (rotation_utils.rotate_model). Returns (params', Q)."""
+    if cfg.family == "gemma2":
+        # parity with the reference: fuse_layer_norms raises for Gemma
+        # (rotation_utils.py:61-68) — its post-sub-block RMSNorms sit between
+        # each linear output and the residual add, so the rotation cannot
+        # commute through them; Gemma-2 quantizes without rotation upstream
+        # too.
+        raise NotImplementedError(
+            "rotation is not supported for Gemma-2 (post-block norms block "
+            "QuaRot fusion); quantize with rotate=False, matching the "
+            "reference's fuse_layer_norms contract")
     Q = get_orthogonal_matrix(cfg.hidden_size, mode=mode, seed=seed)
     fused = fuse_norms(params, cfg)
     return rotate(fused, cfg, Q), Q

@@ -225,7 +225,7 @@ def kmeans(x, k: int, iters: int = 30):
 # ---------------------------------------------------------------------------
 
 def _attention_received(lp, x, cfg: ModelConfig, policy: QuantPolicy,
-                        wcfg: WeightingConfig):
+                        wcfg: WeightingConfig, layer: int = 0):
     """Sum over heads and queries of the attention each key receives, using
     the layer's own q/k after input_layernorm (OriginalAttentionWeighting,
     iwm.py:160-189). Computed head-by-head via scan to avoid materializing
@@ -238,7 +238,11 @@ def _attention_received(lp, x, cfg: ModelConfig, policy: QuantPolicy,
         q = M.linear(h, lp["q"]).reshape(1, L, nq, hd)[0]
         k = M.linear(h, lp["k"]).reshape(1, L, nkv, hd)[0]
     else:
-        h = M.rms_norm(x[None], lp.get("input_norm"), cfg.rms_norm_eps)
+        if cfg.family == "gemma2":
+            from rsq_tpu.models.gemma2 import rms_norm as gemma_norm
+            h = gemma_norm(x[None], lp.get("input_norm"), cfg.rms_norm_eps)
+        else:
+            h = M.rms_norm(x[None], lp.get("input_norm"), cfg.rms_norm_eps)
         cos, sin = M.rope_tables(cfg, jnp.arange(L))
         q = M.linear(h, lp["q"]).reshape(1, L, nq, hd)
         k = M.linear(h, lp["k"]).reshape(1, L, nkv, hd)
@@ -248,11 +252,21 @@ def _attention_received(lp, x, cfg: ModelConfig, policy: QuantPolicy,
 
     cmask = calibration_mask(wcfg, L, nq)
     causal = M.causal_mask(L)
+    scale = 1.0 / jnp.sqrt(jnp.asarray(hd, jnp.float32))
+    softcap = None
+    if cfg.family == "gemma2":
+        # the layer's own attention semantics (scale / softcap / window)
+        from rsq_tpu.models.gemma2 import _mask_for_layer
+        scale = (cfg.query_pre_attn_scalar or hd) ** -0.5
+        softcap = cfg.attn_logit_softcap
+        causal = _mask_for_layer(L, layer, cfg)
 
     def head_contrib(carry, i):
         qi = q[:, i, :]
         ki = k[:, i, :]
-        logits = (qi @ ki.T) / jnp.sqrt(jnp.asarray(hd, jnp.float32))
+        logits = (qi @ ki.T) * scale
+        if softcap is not None:
+            logits = jnp.tanh(logits / softcap) * softcap
         logits = logits + causal
         if isinstance(cmask, str):            # topk
             logits = apply_topk_to_logits(logits, wcfg.attn_length)
@@ -268,14 +282,15 @@ def _attention_received(lp, x, cfg: ModelConfig, policy: QuantPolicy,
 
 
 def compute_sample_weight(lp, x, out, token_freq, cfg: ModelConfig,
-                          policy: QuantPolicy, wcfg: WeightingConfig):
+                          policy: QuantPolicy, wcfg: WeightingConfig,
+                          layer: int = 0):
     """Per-token weights for one calibration sample.
 
     lp: layer params; x/out: (L, d) layer input/output; token_freq: (L,).
     """
     m = wcfg.method
     if m == "attncon":
-        w = _attention_received(lp, x, cfg, policy, wcfg)
+        w = _attention_received(lp, x, cfg, policy, wcfg, layer=layer)
     elif m == "heuristic":
         return heuristic_weight(x.shape[0], wcfg.method_type)
     elif m == "actnorm":
