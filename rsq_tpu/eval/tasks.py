@@ -62,15 +62,22 @@ class MCExample:
     context_ids: np.ndarray              # token ids
     choices_ids: list                     # list of token-id arrays
     gold: int
+    choices_bytes: list | None = None    # utf-8 byte length per choice
 
 
 def eval_multiple_choice(score_fn, examples) -> dict:
-    """acc = argmax total logprob; acc_norm = argmax logprob/num_chars-proxy
-    (length-normalized by token count, the practical lm-eval variant)."""
+    """acc = argmax total logprob; acc_norm = argmax logprob normalized by
+    the continuation's utf-8 BYTE length (lm-eval's byte_length convention,
+    so numbers are comparable with published lm-eval results). Examples
+    built without choice text fall back to token-count normalization."""
     correct = correct_norm = 0
     for ex in examples:
         scores = [score_fn(ex.context_ids, c) for c in ex.choices_ids]
-        norm = [s / max(len(c), 1) for s, c in zip(scores, ex.choices_ids)]
+        if ex.choices_bytes is not None:
+            lens = ex.choices_bytes
+        else:
+            lens = [len(c) for c in ex.choices_ids]
+        norm = [s / max(ln, 1) for s, ln in zip(scores, lens)]
         correct += int(int(np.argmax(scores)) == ex.gold)
         correct_norm += int(int(np.argmax(norm)) == ex.gold)
     n = len(examples)
@@ -291,5 +298,6 @@ def load_mc_task(name: str, tokenizer, limit: int | None = None):
     if limit:
         rows = rows[:limit]
     return [MCExample(_tok(tokenizer, c),
-                      [_tok(tokenizer, ch) for ch in chs], g)
+                      [_tok(tokenizer, ch) for ch in chs], g,
+                      choices_bytes=[len(ch.encode("utf-8")) for ch in chs])
             for c, chs, g in rows]
