@@ -42,8 +42,10 @@ def build_int4_params(cfg, seed=0):
         ks = iter(jax.random.split(key, 32))
 
         def packed(k, n):
-            wp = jax.random.randint(next(ks), (L, k, n // 2), 0, 256,
-                                    dtype=jnp.int32).astype(jnp.uint8)
+            # uint8 directly via random.bits — randint would materialize an
+            # int32 intermediate 4x the packed size (the round-1 OOM: the
+            # up/gate/down int32 temps alone were ~13 GB)
+            wp = jax.random.bits(next(ks), (L, k, n // 2), dtype=jnp.uint8)
             scale = jax.random.uniform(next(ks), (L, n), minval=0.5,
                                        maxval=1.5) / (7 * np.sqrt(k))
             return {"wp": wp, "scale": scale.astype(jnp.float32), "b": None}
@@ -102,8 +104,7 @@ def synthetic_cache(sc, batch, fill_len=512):
             continue
         arr = cache[name]
         if arr.dtype == jnp.uint8:
-            cache[name] = jax.random.randint(
-                k1, arr.shape, 0, 256, dtype=jnp.int32).astype(jnp.uint8)
+            cache[name] = jax.random.bits(k1, arr.shape, dtype=jnp.uint8)
         else:
             cache[name] = jax.random.uniform(
                 k2, arr.shape, minval=0.01, maxval=0.1).astype(arr.dtype)

@@ -35,88 +35,10 @@ from rsq_tpu.serving.model import (
 # Varlen decode step (per-slot positions)
 # ---------------------------------------------------------------------------
 
-def _append_varlen(cache, layer, k, v, positions, sc: ServingConfig):
-    """k/v: (B, 1, H, D); positions: (B,) per-slot write offsets."""
-    kb = jnp.swapaxes(k, 1, 2)
-    vb = jnp.swapaxes(v, 1, 2)
-    B = kb.shape[0]
-    li = jnp.int32(layer)
-    z = jnp.int32(0)
-    if sc.kv_int4:
-        if sc.kv_hadamard:
-            kb = hadamard_transform_last(kb)
-        kq, kp = KVK.to_lane_major(*KVK.asym_quant_pack_head(kb))
-        vq, vp = KVK.to_lane_major(*KVK.asym_quant_pack_head(vb))
-        for name, val in (("kq", kq), ("kp", kp), ("vq", vq), ("vp", vp)):
-            arr = cache[name]
-            for b in range(B):
-                arr = jax.lax.dynamic_update_slice(
-                    arr, val[None, b:b + 1].astype(arr.dtype),
-                    (li, jnp.int32(b), z, z, positions[b].astype(jnp.int32)))
-            cache[name] = arr
-    else:
-        for name, val in (("k", kb), ("v", vb)):
-            arr = cache[name]
-            for b in range(B):
-                arr = jax.lax.dynamic_update_slice(
-                    arr, val[None, b:b + 1].astype(arr.dtype),
-                    (li, jnp.int32(b), z, positions[b].astype(jnp.int32), z))
-            cache[name] = arr
-    return cache
-
-
-@partial(jax.jit, static_argnames=("sc",))
-def decode_step_varlen(params, cache, token_ids, sc: ServingConfig):
-    """One decode step with PER-SLOT positions (cache['length'] per slot).
-    params: unstacked serving params (list of layers)."""
-    cfg = sc.cfg
-    B = token_ids.shape[0]
-    positions = cache["length"]
-    x = params["embed"][token_ids][:, None, :].astype(jnp.bfloat16)
-    # per-slot rope: gather cos/sin rows at each slot's position
-    cos_t, sin_t = M.rope_tables(cfg, jnp.arange(sc.max_seq))
-    cos = cos_t[positions][:, None, :]      # (B, 1, hd)
-    sin = sin_t[positions][:, None, :]
-    hd = cfg.head_dim_
-
-    for i, lp in enumerate(params["layers"]):
-        h = M.rms_norm(x, lp.get("input_norm"), cfg.rms_norm_eps)
-        q = serving_linear(h, lp["q"], sc).reshape(B, 1, -1, hd)
-        k = serving_linear(h, lp["k"], sc).reshape(B, 1, -1, hd)
-        v = serving_linear(h, lp["v"], sc).reshape(B, 1, -1, hd)
-        q = M.apply_rope(q, cos, sin)
-        k = M.apply_rope(k, cos, sin)
-        cache = _append_varlen(cache, i, k, v, positions, sc)
-        lengths = positions + 1
-        if sc.kv_int4:
-            qh = q.reshape(B, -1, hd)
-            if sc.kv_hadamard:
-                qh = hadamard_transform_last(qh)
-            attn = KVK.int4_decode_attention(
-                qh, cache["kq"][i], cache["kp"][i],
-                cache["vq"][i], cache["vp"][i], lengths)
-        else:
-            S = cache["k"].shape[3]
-            nrep = cfg.num_attention_heads // cfg.num_key_value_heads
-            kf = jnp.repeat(cache["k"][i], nrep, axis=1)
-            vf = jnp.repeat(cache["v"][i], nrep, axis=1)
-            qg = q.reshape(B, -1, hd).astype(jnp.float32)
-            logits = jnp.einsum("bhd,bhsd->bhs", qg, kf.astype(jnp.float32))
-            logits = logits / jnp.sqrt(jnp.asarray(hd, jnp.float32))
-            valid = jnp.arange(S)[None, None, :] < lengths[:, None, None]
-            logits = jnp.where(valid, logits, -1e30)
-            p = jax.nn.softmax(logits, axis=-1)
-            attn = jnp.einsum("bhs,bhsd->bhd", p,
-                              vf.astype(jnp.float32)).astype(x.dtype)
-        attn = attn.reshape(B, 1, -1)
-        x = x + _attn_out(lp, attn, cfg, sc)
-        h2 = M.rms_norm(x, lp.get("post_norm"), cfg.rms_norm_eps)
-        x = x + _mlp(lp, h2, cfg, sc)
-
-    cache["length"] = cache["length"] + 1
-    x = M.rms_norm(x, params.get("final_norm"), cfg.rms_norm_eps)
-    logits = (x @ params["lm_head"].astype(x.dtype))[:, 0]
-    return logits, cache
+# decode_step itself now supports per-slot lengths (per-slot rope positions
+# + batched scatter appends in serving.model._append_decode); the engine
+# uses it directly.
+from rsq_tpu.serving.model import decode_step as decode_step_varlen  # noqa: E402
 
 
 @partial(jax.jit, static_argnames=("sc", "slot"))

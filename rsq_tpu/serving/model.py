@@ -133,27 +133,27 @@ def _write_prefill(cache, layer, k, v, sc: ServingConfig):
 
 
 def _append_decode(cache, layer, k, v, pos, sc: ServingConfig):
-    """k/v: (B, 1, H, D) one new token at position pos (scalar)."""
+    """k/v: (B, 1, H, D) one new token per sequence. pos: (B,) per-sequence
+    write positions (sequences need NOT be equal length — one scatter per
+    cache array, batched over B)."""
     kb = jnp.swapaxes(k, 1, 2)  # (B, H, 1, D)
     vb = jnp.swapaxes(v, 1, 2)
-    pos = pos.astype(jnp.int32)
-    li = jnp.int32(layer)
-    z = jnp.int32(0)
+    B = kb.shape[0]
+    pos = jnp.broadcast_to(pos.astype(jnp.int32), (B,))
+    bidx = jnp.arange(B)
     if not sc.kv_int4:
-        cache["k"] = jax.lax.dynamic_update_slice(
-            cache["k"], kb.astype(cache["k"].dtype)[None],
-            (li, z, z, pos, z))
-        cache["v"] = jax.lax.dynamic_update_slice(
-            cache["v"], vb.astype(cache["v"].dtype)[None], (li, z, z, pos, z))
+        cache["k"] = cache["k"].at[layer, bidx, :, pos, :].set(
+            kb[:, :, 0, :].astype(cache["k"].dtype))
+        cache["v"] = cache["v"].at[layer, bidx, :, pos, :].set(
+            vb[:, :, 0, :].astype(cache["v"].dtype))
         return cache
     if sc.kv_hadamard:
         kb = hadamard_transform_last(kb)
     kq, kp = KVK.to_lane_major(*KVK.asym_quant_pack_head(kb))  # (B,H,D/2,1)
     vq, vp = KVK.to_lane_major(*KVK.asym_quant_pack_head(vb))
     for name, val in (("kq", kq), ("kp", kp), ("vq", vq), ("vp", vp)):
-        cache[name] = jax.lax.dynamic_update_slice(
-            cache[name], val[None].astype(cache[name].dtype),
-            (li, z, z, z, pos))
+        cache[name] = cache[name].at[layer, bidx, :, :, pos].set(
+            val[..., 0].astype(cache[name].dtype))
     return cache
 
 
@@ -202,7 +202,7 @@ def prefill_layer(lp, x, cache, layer, cos, sin, mask, cfg, sc):
 
 
 def decode_layer(lp, x, cache, layer, cos, sin, pos, cfg, sc):
-    """x: (B, 1, d); pos: scalar current position."""
+    """x: (B, 1, d); pos: (B,) per-sequence current positions."""
     b = x.shape[0]
     h = M.rms_norm(x, lp.get("input_norm"), cfg.rms_norm_eps)
     q, k, v = _qkv(lp, h, cfg, sc)
@@ -259,11 +259,15 @@ def prefill(params, cache, input_ids, sc: ServingConfig):
 
 @partial(jax.jit, static_argnames=("sc",))
 def decode_step(params, cache, token_ids, sc: ServingConfig):
-    """One token per sequence. token_ids: (B,). Returns (logits, cache)."""
+    """One token per sequence. token_ids: (B,). Sequences may have UNEQUAL
+    lengths (per-slot rope positions + scatter appends; the reference
+    restricts batches to equal page counts, kv_cache.py:265-267).
+    Returns (logits, cache)."""
     cfg = sc.cfg
-    pos = cache["length"][0]  # equal lengths across batch (reference too)
+    pos = cache["length"]                    # (B,)
     x = params["embed"][token_ids][:, None, :].astype(jnp.bfloat16)
-    cos, sin = M.rope_tables(cfg, pos[None])
+    cos, sin = M.rope_tables(cfg, pos)       # (B, hd)
+    cos, sin = cos[:, None, :], sin[:, None, :]
     for i, lp in enumerate(params["layers"]):
         x, cache = decode_layer(lp, x, cache, i, cos, sin, pos, cfg, sc)
     cache["length"] = cache["length"] + 1
@@ -299,7 +303,8 @@ def _cache_slices(cache):
 
 
 def _decode_cache_slice(lp, x, cslice, length, cos, sin, pos, cfg, sc):
-    """decode_layer on ONE layer's cache slice (no leading L dim)."""
+    """decode_layer on ONE layer's cache slice (no leading L dim).
+    pos: (B,) per-sequence write positions."""
     b = x.shape[0]
     h = M.rms_norm(x, lp.get("input_norm"), cfg.rms_norm_eps)
     q, k, v = _qkv(lp, h, cfg, sc)
@@ -308,21 +313,21 @@ def _decode_cache_slice(lp, x, cslice, length, cos, sin, pos, cfg, sc):
 
     kb = jnp.swapaxes(k, 1, 2)
     vb = jnp.swapaxes(v, 1, 2)
-    pos = pos.astype(jnp.int32)
-    z = jnp.int32(0)
+    pos = jnp.broadcast_to(pos.astype(jnp.int32), (b,))
+    bidx = jnp.arange(b)
     if sc.kv_int4:
         if sc.kv_hadamard:
             kb = hadamard_transform_last(kb)
         kq, kp = KVK.to_lane_major(*KVK.asym_quant_pack_head(kb))
         vq, vp = KVK.to_lane_major(*KVK.asym_quant_pack_head(vb))
         for name, val in (("kq", kq), ("kp", kp), ("vq", vq), ("vp", vp)):
-            cslice[name] = jax.lax.dynamic_update_slice(
-                cslice[name], val.astype(cslice[name].dtype), (z, z, z, pos))
+            cslice[name] = cslice[name].at[bidx, :, :, pos].set(
+                val[..., 0].astype(cslice[name].dtype))
     else:
-        cslice["k"] = jax.lax.dynamic_update_slice(
-            cslice["k"], kb.astype(cslice["k"].dtype), (z, z, pos, z))
-        cslice["v"] = jax.lax.dynamic_update_slice(
-            cslice["v"], vb.astype(cslice["v"].dtype), (z, z, pos, z))
+        cslice["k"] = cslice["k"].at[bidx, :, pos, :].set(
+            kb[:, :, 0, :].astype(cslice["k"].dtype))
+        cslice["v"] = cslice["v"].at[bidx, :, pos, :].set(
+            vb[:, :, 0, :].astype(cslice["v"].dtype))
 
     lengths = length + 1
     hd = cfg.head_dim_
@@ -406,11 +411,13 @@ def prefill_stacked(params, cache, input_ids, sc: ServingConfig):
 
 @partial(jax.jit, static_argnames=("sc",))
 def decode_step_stacked(params, cache, token_ids, sc: ServingConfig):
+    """Scan-over-layers decode step; sequences may have unequal lengths."""
     cfg = sc.cfg
     per_layer, length = _cache_slices(cache)
-    pos = length[0]
+    pos = length                             # (B,)
     x = params["embed"][token_ids][:, None, :].astype(jnp.bfloat16)
-    cos, sin = M.rope_tables(cfg, pos[None])
+    cos, sin = M.rope_tables(cfg, pos)
+    cos, sin = cos[:, None, :], sin[:, None, :]
 
     def step(x, xs):
         lp, cslice = xs
