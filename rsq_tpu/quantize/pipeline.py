@@ -139,6 +139,22 @@ def _layer_out(lp, x, cos, sin, cfg, policy, mask, layer=0):
                                 layer=layer)
 
 
+@partial(jax.jit, static_argnames=("cfg", "policy", "wcfg", "layer"))
+def _chunk_weights(lp, x, cos, sin, cfg, policy, mask, token_freq, wcfg,
+                   layer=0):
+    """Importance weights for a CHUNK of samples in one program: the layer
+    forward (for `outs`) fused with a vmapped per-sample weighting pass.
+    Replaces 2 dispatches per sample with 1 per chunk (the round-1
+    dispatch-bound loop, pipeline.py:209-220). x: (C, L, d)."""
+    from rsq_tpu.models import family
+    outs = family.layer_forward(lp, x, cos, sin, cfg, policy, mask,
+                                layer=layer)
+    return jax.vmap(
+        lambda xi, oi, tfi: compute_sample_weight(
+            lp, xi, oi, tfi, cfg, policy, wcfg, layer=layer)
+    )(x, outs, token_freq)
+
+
 # ---------------------------------------------------------------------------
 # Driver
 # ---------------------------------------------------------------------------
@@ -205,20 +221,23 @@ def quantize_model(params, cfg: ModelConfig, rsq: RSQConfig, calib_ids,
         t_layer = time.perf_counter()
         lp = dict(lp)
 
-        # per-sample importance weights for this layer
+        # per-sample importance weights for this layer (chunked + fused with
+        # the outs forward: one dispatch per chunk, not two per sample)
         if rsq.weighting is not None:
-            outs = np.stack([
-                np.asarray(_layer_out(lp, jnp.asarray(inps[j:j + 1]),
-                                      cos, sin, cfg, policy, mask,
-                                      layer=i)[0])
-                for j in range(n)])
-            batch_w = np.stack([
-                np.asarray(compute_sample_weight(
-                    lp, jnp.asarray(inps[j]), jnp.asarray(outs[j]),
-                    jnp.asarray(token_freq[j]), cfg, policy, rsq.weighting,
-                    layer=i))
-                for j in range(n)])
-            del outs
+            chunk = min(8, n)
+            pad = (-n) % chunk
+            inps_w = np.concatenate(
+                [inps, np.zeros((pad, *inps.shape[1:]), inps.dtype)]) \
+                if pad else inps
+            tf_w = np.concatenate(
+                [token_freq, np.zeros((pad, L), token_freq.dtype)]) \
+                if pad else token_freq
+            batch_w = np.concatenate([
+                np.asarray(_chunk_weights(
+                    lp, jnp.asarray(inps_w[j:j + chunk]), cos, sin, cfg,
+                    policy, mask, jnp.asarray(tf_w[j:j + chunk]),
+                    rsq.weighting, layer=i))
+                for j in range(0, n + pad, chunk)])[:n]
         else:
             batch_w = None
 
