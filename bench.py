@@ -116,7 +116,6 @@ def measure_decode(params, sc, batch, n1=8, n2=32, repeats=3):
     """Per-decode-step seconds via scan-length differencing."""
     import jax
     import jax.numpy as jnp
-    from functools import partial
     from rsq_tpu.serving import model as S
 
     cache = synthetic_cache(sc, batch)
@@ -149,6 +148,18 @@ def measure_decode(params, sc, batch, n1=8, n2=32, repeats=3):
     return best
 
 
+def _log(msg):
+    import jax
+    mem = None
+    try:
+        stats = jax.devices()[0].memory_stats()
+        mem = round(stats.get("bytes_in_use", 0) / 2**30, 2)
+    except Exception:
+        pass
+    print(f"[bench {time.strftime('%H:%M:%S')}] {msg} (hbm_gb={mem})",
+          file=sys.stderr, flush=True)
+
+
 def main():
     import os
     import jax
@@ -177,8 +188,11 @@ def main():
                               max_seq=max_seq)
 
     # INT4: full depth and half depth (for per-layer cost)
+    _log("building int4 32L params")
     p32 = build_int4_params(cfg32)
+    _log("measuring int4 32L decode")
     t32 = measure_decode(p32, sc32, batch)
+    _log(f"int4 32L step={t32*1e3:.2f} ms; freeing")
     del p32
     gc.collect()
 
@@ -193,21 +207,41 @@ def main():
                        "fast_mode": True}}))
         return
 
+    _log("building int4 16L params")
     p16 = build_int4_params(cfg16)
+    _log("measuring int4 16L decode")
     t16 = measure_decode(p16, sc16, batch)
+    _log(f"int4 16L step={t16*1e3:.2f} ms; freeing")
     del p16
     gc.collect()
 
-    # bf16 baseline at half depth
-    pb = build_bf16_params(cfg16)
-    tb16 = measure_decode(pb, sc16_bf, batch)
+    # bf16 baseline: 32L bf16 (16 GB weights+emb) cannot fit in HBM, and
+    # even 16L OOMs alongside its cache, so measure at TWO reduced depths
+    # (8 and 12 layers, ~5.7/7.8 GB resident) and extrapolate per-layer cost
+    # + fixed overhead to 32 layers — a two-point fit on the bf16 path
+    # itself, not borrowed from the int4 run.
+    cfg8 = dataclasses.replace(cfg32, num_layers=8)
+    cfg12 = dataclasses.replace(cfg32, num_layers=12)
+    sc8_bf = dataclasses.replace(sc16_bf, model=cfg8)
+    sc12_bf = dataclasses.replace(sc16_bf, model=cfg12)
+    _log("building bf16 8L params")
+    pb = build_bf16_params(cfg8)
+    _log("measuring bf16 8L decode")
+    tb8 = measure_decode(pb, sc8_bf, batch)
+    _log(f"bf16 8L step={tb8*1e3:.2f} ms; freeing")
+    del pb
+    gc.collect()
+    _log("building bf16 12L params")
+    pb = build_bf16_params(cfg12)
+    _log("measuring bf16 12L decode")
+    tb12 = measure_decode(pb, sc12_bf, batch)
+    _log(f"bf16 12L step={tb12*1e3:.2f} ms; freeing")
     del pb
     gc.collect()
 
-    layer_int4 = (t32 - t16) / 16.0
-    overhead = max(t16 - 16.0 * layer_int4, 0.0)  # embed + lm_head + sampling
-    layer_bf16 = max(tb16 - overhead, 1e-9) / 16.0
-    tb32_est = overhead + 32.0 * layer_bf16
+    layer_bf16 = max(tb12 - tb8, 1e-9) / 4.0
+    overhead_bf = max(tb8 - 8.0 * layer_bf16, 0.0)
+    tb32_est = overhead_bf + 32.0 * layer_bf16
 
     toks_per_sec = batch / t32
     speedup = tb32_est / t32
@@ -221,7 +255,8 @@ def main():
             "batch": batch, "max_seq": max_seq,
             "step_ms_int4_32L": round(t32 * 1e3, 3),
             "step_ms_int4_16L": round(t16 * 1e3, 3),
-            "step_ms_bf16_16L": round(tb16 * 1e3, 3),
+            "step_ms_bf16_8L": round(tb8 * 1e3, 3),
+            "step_ms_bf16_12L": round(tb12 * 1e3, 3),
             "step_ms_bf16_32L_est": round(tb32_est * 1e3, 3),
         },
     }))

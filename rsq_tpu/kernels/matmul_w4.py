@@ -180,6 +180,93 @@ def w4_matmul_reference(x, w_packed, scale):
 
 
 # ---------------------------------------------------------------------------
+# Affine W4 matmul: y = (x @ (unpack(W) + zero)) * scale, with a per-tensor
+# scalar scale.  The E8P (2-bit lattice) serving path uses this: every E8P
+# grid value is an odd multiple of 1/4 in [-11/4, 11/4] (D8 + 1/4 coset), so
+# 4w = 2m - 15 with m in {2..13} — i.e. w = (q + 0.5) * (scale/2) with
+# q = m - 8 a signed int4.  Re-encoding the codes this way at convert time
+# is LOSSLESS (bit-identical dequantized weights) and turns E8P serving into
+# a standard planar-int4 read at 4 bits/weight — on TPU this beats decoding
+# the 2^16-entry codebook in-kernel (no native vector gather; a one-hot MXU
+# decode costs ~30x the matmul FLOPs).  Counterpart of quiptools_cuda's
+# fused decompress-matmul (fake_quant/ldlq_utils.py:10,398-402).
+# ---------------------------------------------------------------------------
+
+def _w4_affine_kernel(x_ref, xsum_ref, wp_ref, sh_ref, out_ref, acc_ref, *,
+                      nsteps_k, zero):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    x = x_ref[...]
+    lo, hi = _unpack_block_bf16(wp_ref[...])
+    acc_ref[:, 0, :] += jnp.dot(x, lo, preferred_element_type=jnp.float32)
+    acc_ref[:, 1, :] += jnp.dot(x, hi, preferred_element_type=jnp.float32)
+
+    @pl.when(k == nsteps_k - 1)
+    def _():
+        sh = sh_ref[0]
+        corr = zero * xsum_ref[...][:, :, None]      # (bm, 1, 1)
+        out_ref[...] = ((acc_ref[...] + corr) * sh).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("zero", "block_m", "block_n",
+                                             "block_k", "interpret"))
+def w4_affine_matmul(x, w_packed, scale, *, zero: float = 0.5,
+                     block_m: int = 128, block_n: int = 256,
+                     block_k: int = 512, interpret: bool | None = None):
+    """y = x @ ((unpack(W) + zero) * scale).  x: (M, K); w_packed: uint8
+    (K, N/2) planar; scale: scalar (per-tensor).  The constant offset folds
+    into a rank-1 row-sum correction: y = (x @ q + zero * sum_k x) * scale."""
+    from rsq_tpu.kernels import default_interpret
+    interpret = default_interpret(interpret)
+    M, K = x.shape
+    Kw, Nh = w_packed.shape
+    assert K == Kw
+    xsum = jnp.sum(x.astype(jnp.float32), axis=1, keepdims=True)  # (M, 1)
+
+    bm = min(block_m, _round_up(M, 16))
+    bn = min(block_n, Nh)
+    bk = min(block_k, K)
+    pm, pn, pk = (-M) % bm, (-Nh) % bn, (-K) % bk
+    if pm or pk:
+        x = jnp.pad(x, ((0, pm), (0, pk)))
+    if pm:
+        xsum = jnp.pad(xsum, ((0, pm), (0, 0)))
+    if pk or pn:
+        w_packed = jnp.pad(w_packed, ((0, pk), (0, pn)))
+    Mp, Nhp, Kp = x.shape[0], w_packed.shape[1], x.shape[1]
+    nk = Kp // bk
+
+    grid = (Mp // bm, Nhp // bn, nk)
+    out3 = pl.pallas_call(
+        functools.partial(_w4_affine_kernel, nsteps_k=nk, zero=zero),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda i, j, k: (i, k)),
+            pl.BlockSpec((bm, 1), lambda i, j, k: (i, 0)),
+            pl.BlockSpec((bk, bn), lambda i, j, k: (k, j)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, 2, bn), lambda i, j, k: (i, 0, j)),
+        out_shape=jax.ShapeDtypeStruct((Mp, 2, Nhp), x.dtype),
+        scratch_shapes=[pltpu.VMEM((bm, 2, bn), jnp.float32)],
+        interpret=interpret,
+    )(x, xsum, w_packed, jnp.asarray(scale, jnp.float32).reshape(1))
+    y = unpair_outputs(out3[:, :, :Nh])
+    return y[:M]
+
+
+def w4_affine_matmul_reference(x, w_packed, scale, zero: float = 0.5):
+    """Pure-jnp oracle."""
+    wq = unpack_w4_planar(w_packed).astype(jnp.float32)
+    w = (wq + zero) * jnp.asarray(scale, jnp.float32)
+    return (jnp.asarray(x, jnp.float32) @ w).astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
 # Joint W4A4: per-token sym-quantize x to int4 inside the kernel, int4xint4
 # matmul, dual-scale dequant epilogue (the quarot serving contract:
 # Quantizer -> Linear4bit -> sym_dequant; quarot/nn/linear.py:42-56).

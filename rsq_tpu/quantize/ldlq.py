@@ -278,6 +278,26 @@ def ldlq_quantize(W, H, *, percdamp: float = 0.01, add_until_fail: bool = True,
                "codes": np.asarray(codes)}
 
 
+@functools.lru_cache(maxsize=1)
+def _affine_int4_table() -> np.ndarray:
+    """Per-code signed-int4 re-encoding of the grid: every E8P value is an
+    odd multiple of 1/4 (D8 + 1/4 coset, |4v| <= 11), so v = (q + 0.5) / 2
+    with q = (4v - 1) / 2 a signed int4 in [-6, 5].  Lossless."""
+    q4 = np.round(e8p_grid() * 4.0).astype(np.int32)   # odd ints
+    return ((q4 - 1) // 2).astype(np.int8)             # (65536, 8)
+
+
+def e8p_codes_to_int4(codes) -> np.ndarray:
+    """codes (rows, cols/8) int -> signed int4 q (rows, cols) such that the
+    dequantized weight is exactly (q + 0.5) * (scale / 2).  This is the
+    serving-side re-encoding that lets the fused planar-int4 kernel
+    (kernels.matmul_w4.w4_affine_matmul) serve E8P at 4 bits/weight with
+    zero decode compute (quiptools_cuda role, ldlq_utils.py:10)."""
+    tab = _affine_int4_table()
+    q = tab[np.asarray(codes)]                          # (rows, m, 8)
+    return q.reshape(q.shape[0], -1)
+
+
 def e8p_dequantize(codes, scale):
     """Grid lookup dequantization (E8PQuantizedWeights.dequantize,
     ldlq_utils.py:398-402). codes: (rows, cols/8) int32."""

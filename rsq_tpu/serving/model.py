@@ -56,10 +56,19 @@ def serving_linear(x, p, sc: ServingConfig, tp_axis: str | None = None):
     before quantizing the local shard."""
     lead = x.shape[:-1]
     x2 = x.reshape(-1, x.shape[-1])
+    if "sh" in p:
+        # E8P 2-bit weights, losslessly re-encoded to affine int4 at convert
+        # time (w = (q + 0.5) * sh, params.pack_linear_e8p): ONE fused Pallas
+        # read at 4 bits/weight (quiptools_cuda role, ldlq_utils.py:10)
+        from rsq_tpu.kernels.matmul_w4 import w4_affine_matmul
+        xk = x2.astype(jnp.float32) if tp_axis is not None else x2
+        y = w4_affine_matmul(xk, p["wp"], p["sh"])
+        if p.get("b") is not None:
+            y = y + p["b"].astype(y.dtype)
+        return y.reshape(*lead, y.shape[-1])
     if "codes" in p:
-        # E8P 2-bit: grid-gather dequant fused into the matmul by XLA; the
-        # codes read at 2 bits/weight (ldlq_utils E8PQuantizedWeights
-        # counterpart)
+        # legacy checkpoint layout: grid-gather dequant via XLA (kept as the
+        # compatibility path for params packed before the affine re-encode)
         from rsq_tpu.quantize.ldlq import e8p_dequantize
         w = e8p_dequantize(p["codes"], p["e8p_scale"])  # (out, in)
         y = x2 @ w.T.astype(x2.dtype)

@@ -42,12 +42,16 @@ def unpack_linear(sp):
 
 
 def pack_linear_e8p(p, qinfo):
-    """2-bit E8P serving params: 16-bit codes per 8 weights + a per-tensor
-    scale (the reference serves E8P through quiptools_cuda; here dequant is
-    a grid gather fused into the matmul by XLA)."""
+    """E8P serving params: codes losslessly re-encoded to planar int4 with a
+    constant +0.5 offset (w = (q + 0.5) * scale/2 — see
+    ldlq.e8p_codes_to_int4), served by the fused affine-W4 kernel at
+    4 bits/weight (the reference serves E8P through quiptools_cuda,
+    ldlq_utils.py:10; checkpoints still store 2-bit codes)."""
+    from rsq_tpu.quantize.ldlq import e8p_codes_to_int4
+    q = e8p_codes_to_int4(qinfo["codes"])               # (N, K) int4 values
     return {
-        "codes": jnp.asarray(qinfo["codes"], jnp.int32),
-        "e8p_scale": jnp.float32(qinfo["scale"]),
+        "wp": pack_w4_planar(jnp.asarray(q.T)),          # (K, N/2)
+        "sh": jnp.float32(qinfo["scale"]) * jnp.float32(0.5),
         "b": None if p.get("b") is None else jnp.asarray(p["b"], jnp.bfloat16),
     }
 

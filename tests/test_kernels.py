@@ -87,3 +87,36 @@ def test_mxu_hadamard_matches_jnp(shape):
     want = matmul_hadU(x)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-4, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Affine W4 (E8P serving) kernel
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("M,K,N", [(8, 64, 64), (4, 128, 256), (17, 96, 64)])
+def test_w4_affine_matmul_matches_oracle(M, K, N):
+    rng = np.random.default_rng(11)
+    wq = jnp.asarray(rng.integers(-6, 6, size=(K, N)).astype(np.int8))
+    packed = MW.pack_w4_planar(wq)
+    scale = jnp.float32(0.037)
+    x = jnp.asarray(rng.standard_normal((M, K)).astype(np.float32))
+    y = MW.w4_affine_matmul(x, packed, scale)
+    want = MW.w4_affine_matmul_reference(x, packed, scale)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(want),
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_e8p_affine_reencode_bit_identical():
+    """The int4 re-encoding must imply EXACTLY the e8p_dequantize weights:
+    (q + 0.5) * (scale/2) == grid[codes] * scale bitwise in f32."""
+    from rsq_tpu.quantize.ldlq import (e8p_codes_to_int4, e8p_dequantize,
+                                       e8p_grid)
+    rng = np.random.default_rng(5)
+    codes = rng.integers(0, 1 << 16, size=(32, 8)).astype(np.int32)
+    scale = np.float32(0.731)
+    q = e8p_codes_to_int4(codes)                      # (32, 64)
+    assert q.min() >= -8 and q.max() <= 7
+    implied = (q.astype(np.float32) + np.float32(0.5)) * (scale *
+                                                          np.float32(0.5))
+    want = np.asarray(e8p_dequantize(jnp.asarray(codes), scale))
+    np.testing.assert_array_equal(implied, want)
