@@ -13,6 +13,7 @@ Usage:  python benchmarks/decode_profile.py [--batch 8]
 """
 
 import argparse
+import gc
 import json
 import sys
 import time
@@ -24,32 +25,41 @@ sys.path.insert(0, "/root/repo")
 HBM_GBPS = 819.0  # v5e
 
 
-def loop_time(body, carry0, n1=8, n2=40, repeats=3):
-    """Seconds per iteration of body(i, carry) -> carry (jitted fori_loop)."""
+def loop_time(body, carry0, operands=(), n1=16, n2=272, repeats=3):
+    """Seconds per iteration of body(i, carry, *operands) -> carry.
+
+    `operands` (weights/caches) MUST be passed here, not closed over: a
+    closure capture bakes them into the HLO as constants, and the remote
+    compile service rejects multi-hundred-MB programs (HTTP 413).
+
+    Timing: the tunnel adds multi-ms dispatch/readback jitter, so the
+    two loop lengths are measured independently (min over repeats EACH)
+    and differenced over a 256-iteration span — per-leg jitter then
+    contributes < ~20 us/iter of error."""
     import jax
 
     def make(n):
         @jax.jit
-        def run(carry):
-            return jax.lax.fori_loop(0, n, body, carry)
+        def run(carry, *ops):
+            return jax.lax.fori_loop(
+                0, n, lambda i, c: body(i, c, *ops), carry)
         return run
 
     f1, f2 = make(n1), make(n2)
-    r1 = f1(carry0)
-    np.asarray(jax.tree_util.tree_leaves(r1)[0])
-    r2 = f2(carry0)
-    np.asarray(jax.tree_util.tree_leaves(r2)[0])
-    best = None
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        np.asarray(jax.tree_util.tree_leaves(f1(carry0))[0])
-        t1 = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        np.asarray(jax.tree_util.tree_leaves(f2(carry0))[0])
-        t2 = time.perf_counter() - t0
-        dt = (t2 - t1) / (n2 - n1)
-        best = dt if best is None else min(best, dt)
-    return best
+
+    def timed(f):
+        best = None
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            np.asarray(jax.tree_util.tree_leaves(f(carry0, *operands))[0])
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        return best
+
+    # warm both compiles before any timing
+    np.asarray(jax.tree_util.tree_leaves(f1(carry0, *operands))[0])
+    np.asarray(jax.tree_util.tree_leaves(f2(carry0, *operands))[0])
+    return (timed(f2) - timed(f1)) / (n2 - n1)
 
 
 def report(name, sec, bytes_per_iter, per_step=1):
@@ -67,7 +77,10 @@ def report(name, sec, bytes_per_iter, per_step=1):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=8)
-    ap.add_argument("--layers", type=int, default=32)
+    # 8 profiled layers (cycled) keep the stacked weights small enough to
+    # coexist in HBM; per-step numbers still scale by the real layer count
+    ap.add_argument("--layers", type=int, default=8)
+    ap.add_argument("--model-layers", type=int, default=32)
     ap.add_argument("--seq", type=int, default=1024)
     ap.add_argument("--skip-full", action="store_true")
     args = ap.parse_args()
@@ -85,6 +98,7 @@ def main():
     from rsq_tpu.kernels.hadamard_mxu import hadamard_transform
 
     L, B, S = args.layers, args.batch, args.seq
+    ML = args.model_layers  # per-step cost multiplier (true model depth)
     d, f, vsz = 4096, 14336, 128256
     Hq, Hkv, D = 32, 8, 128
     key = jax.random.PRNGKey(0)
@@ -102,15 +116,16 @@ def main():
         scale = jnp.full((N,), 1.0 / (7 * np.sqrt(K)), jnp.float32)
         x0 = jax.random.normal(next(keys), (B, K), dtype=jnp.bfloat16)
 
-        def body(i, s, wp=wp, scale=scale, x0=x0, K=K):
+        def body(i, s, wp, scale, x0):
             x = x0 + (s * 1e-30).astype(jnp.bfloat16)
             y = w4a4_matmul(x, wp[i % L], scale)
             return jnp.mean(y.astype(jnp.float32))
 
-        sec = loop_time(body, jnp.float32(0.0))
-        r = report(f"w4a4_{name}", sec, K * N // 2 + 4 * N, per_step=L)
+        sec = loop_time(body, jnp.float32(0.0), (wp, scale, x0))
+        r = report(f"w4a4_{name}", sec, K * N // 2 + 4 * N, per_step=ML)
         proj_total_ms += r["ms_per_step"]
         del wp
+        gc.collect()
     print(json.dumps({"component": "w4a4_all_projections",
                       "ms_per_step": round(proj_total_ms, 3)}), flush=True)
 
@@ -124,15 +139,15 @@ def main():
     lengths = jnp.full((B,), S // 2, jnp.int32)
     q0 = jax.random.normal(next(keys), (B, Hq, D), dtype=jnp.bfloat16)
 
-    def body_attn(i, s):
+    def body_attn(i, s, kq, kp, vq, vp, q0, lengths):
         q = q0 + (s * 1e-30).astype(jnp.bfloat16)
         o = KVK.int4_decode_attention(q, kq[i % L], kp[i % L], vq[i % L],
                                       vp[i % L], lengths)
         return jnp.mean(o.astype(jnp.float32))
 
-    sec = loop_time(body_attn, jnp.float32(0.0))
+    sec = loop_time(body_attn, jnp.float32(0.0), (kq, kp, vq, vp, q0, lengths))
     kv_bytes = 2 * (B * Hkv * (D // 2) * S + B * Hkv * 2 * S * 4)
-    results.append(report("int4_kv_attention", sec, kv_bytes, per_step=L))
+    results.append(report("int4_kv_attention", sec, kv_bytes, per_step=ML))
     attn_ms = results[-1]["ms_per_step"]
     del kq, vq, kp, vp
 
@@ -141,7 +156,7 @@ def main():
     cache_kq = jax.random.bits(next(keys), (B, Hkv, D // 2, S),
                                dtype=jnp.uint8)
 
-    def body_append(i, carry):
+    def body_append(i, carry, kb0):
         s, ck = carry
         kb = kb0 + (s * 1e-30).astype(jnp.bfloat16)
         kb = hadamard_transform_last(kb)
@@ -149,42 +164,42 @@ def main():
         ck = jax.lax.dynamic_update_slice(ck, kqq, (0, 0, 0, i % S))
         return (jnp.mean(kpp), ck)
 
-    sec = loop_time(body_append, (jnp.float32(0.0), cache_kq))
-    results.append(report("kv_quant_append_x2", sec, B * Hkv * D, per_step=2 * L))
+    sec = loop_time(body_append, (jnp.float32(0.0), cache_kq), (kb0,))
+    results.append(report("kv_quant_append_x2", sec, B * Hkv * D, per_step=2 * ML))
     append_ms = results[-1]["ms_per_step"]
     del cache_kq
 
     # ---- online Hadamards ----
     a0 = jax.random.normal(next(keys), (B, f), dtype=jnp.bfloat16)
 
-    def body_had(i, s):
+    def body_had(i, s, a0):
         a = a0 + (s * 1e-30).astype(jnp.bfloat16)
         return jnp.mean(hadamard_transform(a).astype(jnp.float32))
 
-    sec = loop_time(body_had, jnp.float32(0.0))
-    results.append(report("mlp_online_hadamard", sec, B * f * 2, per_step=L))
+    sec = loop_time(body_had, jnp.float32(0.0), (a0,))
+    results.append(report("mlp_online_hadamard", sec, B * f * 2, per_step=ML))
     had_ms = results[-1]["ms_per_step"]
 
     h0 = jax.random.normal(next(keys), (B, Hq * D), dtype=jnp.bfloat16)
 
-    def body_hmix(i, s):
+    def body_hmix(i, s, h0):
         h = h0 + (s * 1e-30).astype(jnp.bfloat16)
         return jnp.mean(head_mixing_hadamard(h, head_dim=D).astype(jnp.float32))
 
-    sec = loop_time(body_hmix, jnp.float32(0.0))
+    sec = loop_time(body_hmix, jnp.float32(0.0), (h0,))
     results.append(report("o_head_mixing_hadamard", sec, B * Hq * D * 2,
-                          per_step=L))
+                          per_step=ML))
     hmix_ms = results[-1]["ms_per_step"]
 
     # ---- lm_head + embed ----
     lm = jax.random.normal(next(keys), (d, vsz), dtype=jnp.bfloat16) * 0.01
     x0 = jax.random.normal(next(keys), (B, 1, d), dtype=jnp.bfloat16)
 
-    def body_lm(i, s):
+    def body_lm(i, s, lm, x0):
         x = x0 + (s * 1e-30).astype(jnp.bfloat16)
         return jnp.mean((x @ lm).astype(jnp.float32))
 
-    sec = loop_time(body_lm, jnp.float32(0.0))
+    sec = loop_time(body_lm, jnp.float32(0.0), (lm, x0))
     results.append(report("lm_head_bf16", sec, d * vsz * 2))
     lm_ms = results[-1]["ms_per_step"]
     del lm

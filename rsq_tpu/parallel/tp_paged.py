@@ -1,0 +1,415 @@
+"""Paged continuous-batching engine over a (dp, tp) device mesh.
+
+Unifies the two serving stacks (VERDICT r1 #4): the page-pool engine
+(serving/paged.py — continuous batching, prefix caching, refcounted C++
+allocator) and tensor parallelism (parallel/tp.py).  The north-star serving
+configuration (BASELINE.md): INT4 weights and the INT4 paged KV cache
+tensor-sharded over `tp`, request slots and the page pool sharded over `dp`,
+XLA collectives over ICI.
+
+Sharding plan:
+  pool (L, P, Hkv, D/2, page): pages over dp, kv-heads over tp.  Each dp
+      group owns an independent page range with its OWN allocator + prefix
+      cache (page ids are group-local), so appends from different groups
+      never race on a replicated buffer.
+  page_tables / lengths / next_tok (B, ...): slots over dp.
+  weights: col-parallel q/k/v/up/gate, row-parallel o/down (one psum each),
+      embeddings / norms / lm_head replicated — same plan as tp.py.
+
+Prefill is per-request (chunked, prefix-cache aware).  It runs on the FULL
+mesh: every dp group executes the same tail forward, but non-target groups
+have their page-table row redirected to their scratch ("null") page, so
+only the target group's pool is actually written — one masked index instead
+of a masked copy of the whole pool.  The reference has no multi-device
+serving at all (SURVEY.md §2.4).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from rsq_tpu.core.hadamard import hadamard_transform_last
+from rsq_tpu.kernels import paged_kv as PKV
+from rsq_tpu.models import llama as M
+from rsq_tpu.models.config import ModelConfig
+from rsq_tpu.parallel.tp import (_mix_heads, _mix_intermediate,
+                                 serving_param_specs)
+from rsq_tpu.serving.model import ServingConfig, serving_linear
+from rsq_tpu.serving.native import make_page_allocator
+from rsq_tpu.serving.paged import (PagedRequest, _pool_append_token,
+                                   _pool_write_pages, _gather_layer_prefix,
+                                   prefix_hashes)
+
+
+def pool_specs():
+    return {k: P(None, "dp", "tp", None, None)
+            for k in ("kq", "kp", "vq", "vp")}
+
+
+def shard_pool(pool, mesh: Mesh):
+    specs = pool_specs()
+    return {k: jax.device_put(v, NamedSharding(mesh, specs[k]))
+            for k, v in pool.items()}
+
+
+# ---------------------------------------------------------------------------
+# shard_map-local steps
+# ---------------------------------------------------------------------------
+
+def _tp_attn_out(lp, attn, hd, cfg, sc):
+    if sc.online_had:
+        attn = _mix_heads(attn, hd, cfg)
+    o = serving_linear(attn, lp["o"], sc, tp_axis="tp")
+    return jax.lax.psum(o, "tp")
+
+
+def _tp_mlp(lp, h2, cfg, sc):
+    up = serving_linear(h2, lp["up"], sc)
+    gate = serving_linear(h2, lp["gate"], sc)
+    act = jax.nn.silu(gate.astype(jnp.float32)).astype(h2.dtype) * up
+    if sc.online_had:
+        act = _mix_intermediate(act, cfg)
+    down = serving_linear(act, lp["down"], sc, tp_axis="tp")
+    return jax.lax.psum(down, "tp")
+
+
+def _local_decode_paged(params, pool, page_tables, lengths, token_ids,
+                        sc: ServingConfig):
+    """One decode step on LOCAL shards: B_l slots, H_l kv heads."""
+    cfg = sc.cfg
+    tp = jax.lax.axis_size("tp")
+    B = token_ids.shape[0]
+    hd = cfg.head_dim_
+    nq_l = cfg.num_attention_heads // tp
+    nkv_l = cfg.num_key_value_heads // tp
+
+    x = params["embed"][token_ids][:, None, :].astype(jnp.bfloat16)
+    cos_t, sin_t = M.rope_tables(cfg, jnp.arange(sc.max_seq))
+    cos = cos_t[lengths][:, None, :]
+    sin = sin_t[lengths][:, None, :]
+
+    for i, lp in enumerate(params["layers"]):
+        h = M.rms_norm(x, lp.get("input_norm"), cfg.rms_norm_eps)
+        q = serving_linear(h, lp["q"], sc).reshape(B, 1, nq_l, hd)
+        k = serving_linear(h, lp["k"], sc).reshape(B, 1, nkv_l, hd)
+        v = serving_linear(h, lp["v"], sc).reshape(B, 1, nkv_l, hd)
+        q = M.apply_rope(q, cos, sin)
+        k = M.apply_rope(k, cos, sin)
+        kb = jnp.swapaxes(k, 1, 2)                   # (B, H_l, 1, D)
+        vb = jnp.swapaxes(v, 1, 2)
+        if sc.kv_hadamard:
+            kb = hadamard_transform_last(kb)
+        kq_, kp_ = PKV.to_lane_major(*PKV.asym_quant_pack_head(kb))
+        vq_, vp_ = PKV.to_lane_major(*PKV.asym_quant_pack_head(vb))
+        pool = _pool_append_token(pool, i, page_tables, lengths,
+                                  kq_, kp_, vq_, vp_)
+        qh = q.reshape(B, nq_l, hd)
+        if sc.kv_hadamard:
+            qh = hadamard_transform_last(qh)
+        attn = PKV.int4_paged_decode_attention(
+            qh, pool["kq"][i], pool["kp"][i], pool["vq"][i], pool["vp"][i],
+            page_tables, lengths + 1)
+        attn = attn.reshape(B, 1, nq_l * hd)
+        x = x + _tp_attn_out(lp, attn, hd, cfg, sc).astype(x.dtype)
+        h2 = M.rms_norm(x, lp.get("post_norm"), cfg.rms_norm_eps)
+        x = x + _tp_mlp(lp, h2, cfg, sc).astype(x.dtype)
+
+    x = M.rms_norm(x, params.get("final_norm"), cfg.rms_norm_eps)
+    logits = (x @ params["lm_head"].astype(x.dtype))[:, 0]
+    return logits, pool
+
+
+def _local_prefill_paged(params, pool, page_row, null_page, input_tail,
+                         group, sc: ServingConfig, prefix_pages: int,
+                         prefix_len: int, prompt_len: int):
+    """Chunked per-request prefill on the full mesh.  `group` selects which
+    dp group's pool is written; other groups' page rows are redirected to
+    their scratch page so their (identical) compute lands nowhere."""
+    cfg = sc.cfg
+    tp = jax.lax.axis_size("tp")
+    page = pool["kq"].shape[-1]
+    st = input_tail.shape[1]
+    n_tail_pages = st // page
+    hd = cfg.head_dim_
+    nq_l = cfg.num_attention_heads // tp
+    nkv_l = cfg.num_key_value_heads // tp
+
+    mine = jax.lax.axis_index("dp") == group
+    row = jnp.where(mine, page_row, jnp.broadcast_to(null_page[0],
+                                                     page_row.shape))
+
+    x = params["embed"][input_tail].astype(jnp.bfloat16)
+    positions = prefix_len + jnp.arange(st)
+    cos, sin = M.rope_tables(cfg, positions)
+    qpos = positions[:, None]
+    kpos = jnp.arange(prefix_len + st)[None, :]
+    mask = jnp.where(kpos <= qpos, 0.0, -1e30).astype(jnp.float32)
+    nrep = nq_l // nkv_l
+    tail_ids = row[prefix_pages:prefix_pages + n_tail_pages]
+
+    for i, lp in enumerate(params["layers"]):
+        h = M.rms_norm(x, lp.get("input_norm"), cfg.rms_norm_eps)
+        q = serving_linear(h, lp["q"], sc).reshape(1, st, nq_l, hd)
+        k = serving_linear(h, lp["k"], sc).reshape(1, st, nkv_l, hd)
+        v = serving_linear(h, lp["v"], sc).reshape(1, st, nkv_l, hd)
+        q = M.apply_rope(q, cos, sin)
+        k = M.apply_rope(k, cos, sin)
+        kb = jnp.swapaxes(k, 1, 2)                   # (1, H_l, St, D)
+        vb = jnp.swapaxes(v, 1, 2)
+        if not sc.kv_int4:
+            raise NotImplementedError("paged engine requires kv_int4")
+        kq_, kp_ = PKV.quantize_prompt(kb, hadamard=sc.kv_hadamard)
+        vq_, vp_ = PKV.quantize_prompt(vb, hadamard=False)
+        pool = _pool_write_pages(pool, i, tail_ids,
+                                 kq_[0], kp_[0], vq_[0], vp_[0])
+        if prefix_pages:
+            qr = (hadamard_transform_last(jnp.swapaxes(q, 1, 2))
+                  if sc.kv_hadamard else jnp.swapaxes(q, 1, 2))
+            qr = jnp.swapaxes(qr, 1, 2)
+            kr = hadamard_transform_last(kb) if sc.kv_hadamard else kb
+            kr = jnp.swapaxes(kr, 1, 2)
+            pk, pv = _gather_layer_prefix(pool, i, row[:prefix_pages])
+            keys = jnp.concatenate([pk.astype(qr.dtype),
+                                    kr.astype(qr.dtype)], axis=1)
+            vals = jnp.concatenate([pv.astype(qr.dtype),
+                                    vb.swapaxes(1, 2).astype(qr.dtype)],
+                                   axis=1)
+            attn = M.attention(qr, M.repeat_kv(keys, nrep),
+                               M.repeat_kv(vals, nrep), mask)
+        else:
+            attn = M.attention(q, M.repeat_kv(k, nrep),
+                               M.repeat_kv(v, nrep), mask[:, prefix_len:])
+        attn = attn.reshape(1, st, nq_l * hd)
+        x = x + _tp_attn_out(lp, attn, hd, cfg, sc).astype(x.dtype)
+        h2 = M.rms_norm(x, lp.get("post_norm"), cfg.rms_norm_eps)
+        x = x + _tp_mlp(lp, h2, cfg, sc).astype(x.dtype)
+
+    last = prompt_len - prefix_len - 1  # static
+    x = M.rms_norm(x[:, last:last + 1], params.get("final_norm"),
+                   cfg.rms_norm_eps)
+    logits = (x @ params["lm_head"].astype(x.dtype))[:, 0]  # (1, V)
+    return logits, pool
+
+
+def make_paged_tp_step(params, pool, mesh: Mesh, sc: ServingConfig):
+    """Jitted shard_map'd (prefill, decode) for the paged TP engine.
+
+    decode(params, pool, page_tables (B, NP), lengths (B,), tokens (B,))
+        -> (logits (B, V), pool)
+    prefill(params, pool, page_row (NP,), null_pages (dp,), tail (1, St),
+            group ()) -> (logits (dp, V), pool)   [static kwargs via partial]
+    """
+    pspecs = serving_param_specs(params)
+    plspecs = pool_specs()
+
+    decode = jax.jit(jax.shard_map(
+        partial(_local_decode_paged, sc=sc), mesh=mesh,
+        in_specs=(pspecs, plspecs, P("dp"), P("dp"), P("dp")),
+        out_specs=(P("dp", None), plspecs),
+        check_vma=False))
+
+    def prefill(params, pool, page_row, null_pages, tail, group, *,
+                prefix_pages, prefix_len, prompt_len):
+        fn = jax.shard_map(
+            partial(_local_prefill_paged, sc=sc, prefix_pages=prefix_pages,
+                    prefix_len=prefix_len, prompt_len=prompt_len),
+            mesh=mesh,
+            in_specs=(pspecs, plspecs, P(None), P("dp"), P(None, None), P()),
+            out_specs=(P("dp", None), plspecs),
+            check_vma=False)
+        return fn(params, pool, page_row, null_pages, tail, group)
+
+    prefill = jax.jit(prefill,
+                      static_argnames=("prefix_pages", "prefix_len",
+                                       "prompt_len"))
+    return prefill, decode
+
+
+# ---------------------------------------------------------------------------
+# Engine
+# ---------------------------------------------------------------------------
+
+class PagedTPEngine:
+    """Continuous batching + prefix caching over a (dp, tp) mesh.
+
+    Slots are partitioned across dp groups (group g owns rows
+    [g*spg, (g+1)*spg) of the global slot arrays); each group has an
+    independent page allocator + prefix cache over its local page range."""
+
+    def __init__(self, params, sc: ServingConfig, mesh: Mesh,
+                 num_slots: int = 8, num_pages: int | None = None,
+                 page_size: int = 128, eos_token: int | None = None,
+                 prefix_caching: bool = True):
+        assert sc.kv_int4, "paged engine serves the INT4 cache"
+        cfg = sc.cfg
+        self.mesh = mesh
+        self.dp = mesh.shape["dp"]
+        assert num_slots % self.dp == 0, "num_slots must divide over dp"
+        self.spg = num_slots // self.dp
+        self.sc = sc
+        self.page = page_size
+        self.np_per_slot = -(-sc.max_seq // page_size)
+        self.num_slots = num_slots
+        self.eos = eos_token
+        self.prefix_caching = prefix_caching
+        if num_pages is None:
+            num_pages = num_slots * self.np_per_slot + self.dp
+        assert num_pages % self.dp == 0
+        self.pages_per_group = num_pages // self.dp
+
+        from rsq_tpu.parallel.tp import shard_params
+        self.params = shard_params(params, mesh)
+        pool = PKV.init_pool(cfg.num_layers, num_pages,
+                             cfg.num_key_value_heads, cfg.head_dim_,
+                             page_size)
+        self.pool = shard_pool(pool, mesh)
+        self._prefill, self._decode = make_paged_tp_step(
+            self.params, self.pool, mesh, sc)
+
+        self.allocs = [make_page_allocator(self.pages_per_group)
+                       for _ in range(self.dp)]
+        self.null_pages = np.asarray(
+            [a.alloc(1)[0] for a in self.allocs], np.int32)
+        self.page_tables = np.stack([
+            np.full((self.spg, self.np_per_slot), self.null_pages[g],
+                    np.int32) for g in range(self.dp)
+        ]).reshape(num_slots, self.np_per_slot)
+        self.lengths = np.zeros((num_slots,), np.int32)
+        self.next_tok = np.zeros((num_slots,), np.int32)
+        self.slots: list[PagedRequest | None] = [None] * num_slots
+        self.queue: list[PagedRequest] = []
+        self._uid = 0
+
+    def _group_of(self, slot: int) -> int:
+        return slot // self.spg
+
+    # -- admission ------------------------------------------------------
+
+    def add_request(self, prompt_ids, max_new_tokens: int = 32) -> int:
+        self._uid += 1
+        req = PagedRequest(self._uid, np.asarray(prompt_ids, np.int32),
+                           max_new_tokens)
+        self.queue.append(req)
+        return req.uid
+
+    def _admit_one(self, req: PagedRequest, slot: int) -> bool:
+        g = self._group_of(slot)
+        alloc = self.allocs[g]
+        plen = len(req.prompt_ids)
+        total = min(plen + req.max_new_tokens, self.sc.max_seq)
+        need_total = -(-total // self.page)
+
+        reused: list[int] = []
+        if self.prefix_caching:
+            limit = (plen - 1) // self.page
+            for h in prefix_hashes(req.prompt_ids, self.page)[:limit]:
+                pid = alloc.prefix_lookup(h)
+                if pid < 0:
+                    break
+                reused.append(pid)
+
+        fresh = alloc.alloc(need_total - len(reused))
+        if fresh is None:
+            for pid in reused:
+                alloc.decref(pid)
+            return False
+
+        pages = reused + fresh
+        prefix_pages = len(reused)
+        prefix_len = prefix_pages * self.page
+        tail = req.prompt_ids[prefix_len:]
+        st_pad = -(-len(tail) // self.page) * self.page
+        tail_pad = np.zeros((1, st_pad), np.int32)
+        tail_pad[0, :len(tail)] = tail
+
+        row = np.full((self.np_per_slot,), self.null_pages[g], np.int32)
+        row[:len(pages)] = pages
+        logits, self.pool = self._prefill(
+            self.params, self.pool, jnp.asarray(row),
+            jnp.asarray(self.null_pages), jnp.asarray(tail_pad),
+            jnp.int32(g), prefix_pages=prefix_pages, prefix_len=prefix_len,
+            prompt_len=plen)
+        logits = logits[g]
+
+        if self.prefix_caching:
+            for j, h in enumerate(prefix_hashes(req.prompt_ids, self.page)):
+                if j < len(pages):
+                    alloc.prefix_insert(h, pages[j])
+
+        tok = int(jnp.argmax(logits))
+        req.output.append(tok)
+        req.pages = pages
+        req.reused_pages = prefix_pages
+        self.slots[slot] = req
+        self.page_tables[slot] = row
+        self.lengths[slot] = plen
+        self.next_tok[slot] = tok
+        return True
+
+    def _admit(self):
+        for slot in range(self.num_slots):
+            if self.slots[slot] is None and self.queue:
+                if not self._admit_one(self.queue[0], slot):
+                    break
+                self.queue.pop(0)
+
+    def _retire(self, slot: int):
+        req = self.slots[slot]
+        g = self._group_of(slot)
+        req.done = True
+        for pid in req.pages:
+            self.allocs[g].decref(pid)
+        self.slots[slot] = None
+        self.page_tables[slot] = self.null_pages[g]
+        self.lengths[slot] = 0
+
+    # -- stepping ---------------------------------------------------------
+
+    def step(self) -> list[PagedRequest]:
+        self._admit()
+        if all(s is None for s in self.slots):
+            return []
+        logits, self.pool = self._decode(
+            self.params, self.pool, jnp.asarray(self.page_tables),
+            jnp.asarray(self.lengths), jnp.asarray(self.next_tok))
+        self.lengths += 1
+        toks = np.asarray(jnp.argmax(logits, axis=-1))
+        finished = []
+        for slot, req in enumerate(self.slots):
+            if req is None:
+                continue
+            tok = int(toks[slot])
+            req.output.append(tok)
+            self.next_tok[slot] = tok
+            hit_eos = self.eos is not None and tok == self.eos
+            if (len(req.output) >= req.max_new_tokens or hit_eos
+                    or int(self.lengths[slot]) + 1 >= self.sc.max_seq):
+                finished.append(req)
+                self._retire(slot)
+        return finished
+
+    def run_until_done(self, max_steps: int = 10_000) -> list[PagedRequest]:
+        done = []
+        for _ in range(max_steps):
+            done += self.step()
+            if not self.queue and all(s is None for s in self.slots):
+                break
+        return done
+
+    @property
+    def cache_stats(self) -> dict:
+        out = {"hits": 0, "misses": 0, "evictions": 0, "free_pages": 0,
+               "cached_pages": 0}
+        for a in self.allocs:
+            s = a.stats
+            for k in ("hits", "misses", "evictions"):
+                out[k] += s[k]
+            out["free_pages"] += a.free_count
+            out["cached_pages"] += a.cached_count
+        return out

@@ -147,3 +147,60 @@ def test_tp_online_hadamard_nonpow2_gather_path():
     np.testing.assert_allclose(np.asarray(logits0, np.float32),
                                np.asarray(logits1, np.float32),
                                rtol=2e-2, atol=2e-2)
+
+
+# ---------------------------------------------------------------------------
+# Paged engine under (dp, tp)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("dp", [1, 2])
+def test_paged_tp_engine_matches_single_device(setup, dp):
+    """The north-star config: paged continuous batching with the pool
+    sharded (pages over dp, kv-heads over tp) must produce the same tokens
+    as the single-device paged engine (VERDICT r1 next-round #4)."""
+    from rsq_tpu.parallel.tp import make_mesh
+    from rsq_tpu.parallel.tp_paged import PagedTPEngine
+    from rsq_tpu.serving.paged import PagedServingEngine
+
+    cfg, sparams = setup
+    sc = S.ServingConfig(model=cfg, a4=True, kv_int4=True, kv_hadamard=True,
+                         online_had=False, max_seq=32)
+    rng = np.random.default_rng(4)
+    prompts = [rng.integers(0, cfg.vocab_size, size=n) for n in (7, 11, 5, 9)]
+
+    eng0 = PagedServingEngine(sparams, sc, num_slots=4, page_size=8)
+    for p in prompts:
+        eng0.add_request(p, max_new_tokens=6)
+    done0 = {r.uid: r.output for r in eng0.run_until_done()}
+
+    mesh = make_mesh(4 * dp, dp=dp)
+    eng1 = PagedTPEngine(sparams, sc, mesh, num_slots=2 * dp, page_size=8)
+    for p in prompts:
+        eng1.add_request(p, max_new_tokens=6)
+    done1 = {r.uid: r.output for r in eng1.run_until_done()}
+
+    assert set(done0) == set(done1)
+    for uid in done0:
+        assert done0[uid] == done1[uid], f"request {uid} diverged"
+
+
+def test_paged_tp_prefix_cache_hits(setup):
+    from rsq_tpu.parallel.tp import make_mesh
+    from rsq_tpu.parallel.tp_paged import PagedTPEngine
+
+    cfg, sparams = setup
+    sc = S.ServingConfig(model=cfg, a4=True, kv_int4=True, kv_hadamard=True,
+                         online_had=False, max_seq=32)
+    rng = np.random.default_rng(5)
+    shared = rng.integers(0, cfg.vocab_size, size=16)
+    p1 = np.concatenate([shared, rng.integers(0, cfg.vocab_size, size=3)])
+    p2 = np.concatenate([shared, rng.integers(0, cfg.vocab_size, size=4)])
+
+    mesh = make_mesh(4, dp=1)
+    eng = PagedTPEngine(sparams, sc, mesh, num_slots=2, page_size=8)
+    eng.add_request(p1, max_new_tokens=4)
+    eng.run_until_done()
+    eng.add_request(p2, max_new_tokens=4)
+    done = eng.run_until_done()
+    assert done[-1].reused_pages == 2  # 16 shared tokens = 2 full pages
+    assert eng.cache_stats["hits"] >= 2
