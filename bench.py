@@ -50,11 +50,23 @@ def build_int4_params(cfg, seed=0):
                                        maxval=1.5) / (7 * np.sqrt(k))
             return {"wp": wp, "scale": scale.astype(jnp.float32), "b": None}
 
+        def scales2(n, k):
+            s = jax.random.uniform(next(ks), (L, 2, n // 2), minval=0.5,
+                                   maxval=1.5) / (7 * np.sqrt(k))
+            return s.astype(jnp.float32)
+
+        def fused(k, ns):
+            # fused-concat layout (serving.params.fuse_for_decode)
+            wp2 = jax.random.bits(next(ks), (L, k, sum(ns) // 2),
+                                  dtype=jnp.uint8)
+            return {"wp2": wp2, "scales2": [scales2(n, k) for n in ns],
+                    "bs": [None] * len(ns)}
+
         stacked = {
             "input_norm": None, "post_norm": None,
-            "q": packed(d, cfg.q_dim), "k": packed(d, cfg.kv_dim),
-            "v": packed(d, cfg.kv_dim), "o": packed(cfg.q_dim, d),
-            "up": packed(d, f), "gate": packed(d, f), "down": packed(f, d),
+            "qkv": fused(d, (cfg.q_dim, cfg.kv_dim, cfg.kv_dim)),
+            "o": packed(cfg.q_dim, d),
+            "upgate": fused(d, (f, f)), "down": packed(f, d),
         }
         emb = (jax.random.normal(next(ks), (v, d)) * 0.01).astype(jnp.bfloat16)
         return {"embed": emb, "final_norm": None, "lm_head": emb.T,

@@ -128,8 +128,9 @@ def _w4_matmul_kernel(x_ref, wp_ref, scale_ref, out_ref, acc_ref, *,
 
 @functools.partial(jax.jit, static_argnames=("block_m", "block_n", "block_k",
                                              "interpret"))
-def w4_matmul(x, w_packed, scale, *, block_m: int = 128, block_n: int = 256,
-              block_k: int = 512, interpret: bool | None = None):
+def w4_matmul(x, w_packed, scale, *, block_m: int | None = None,
+              block_n: int | None = None, block_k: int | None = None,
+              interpret: bool | None = None):
     """y = x @ dequant(W).  x: (M, K) bf16/f32; w_packed: uint8 (K, N/2)
     planar; scale: (N,) f32 per-output-column (GPTQ per-channel).
     Returns (M, N) in x.dtype."""
@@ -140,9 +141,7 @@ def w4_matmul(x, w_packed, scale, *, block_m: int = 128, block_n: int = 256,
     assert K == Kw
     N = Nh * 2
 
-    bm = min(block_m, _round_up(M, 16))  # sublane granularity for small M
-    bn = min(block_n, Nh)
-    bk = min(block_k, K)
+    bm, bn, bk = _decode_blocks(M, K, Nh, block_m, block_n, block_k)
     pm, pn, pk = (-M) % bm, (-Nh) % bn, (-K) % bk
     if pm or pk:
         x = jnp.pad(x, ((0, pm), (0, pk)))
@@ -171,6 +170,44 @@ def w4_matmul(x, w_packed, scale, *, block_m: int = 128, block_n: int = 256,
     )(x, w_packed, scale2)
     y = unpair_outputs(out3[:, :, :Nh])
     return y[:M]
+
+
+@functools.partial(jax.jit, static_argnames=("block_m", "block_n", "block_k",
+                                             "interpret"))
+def w4_matmul_paired(x, w_packed, scale2, *, block_m: int | None = None,
+                     block_n: int | None = None, block_k: int | None = None,
+                     interpret: bool | None = None):
+    """Paired-scale W4 matmul: scale2 (2, Nh) pre-paired, output (M, 2, Nh)
+    plane-paired (for fused concatenated-output callers)."""
+    from rsq_tpu.kernels import default_interpret
+    interpret = default_interpret(interpret)
+    M, K = x.shape
+    Nh = w_packed.shape[1]
+    bm, bn, bk = _decode_blocks(M, K, Nh, block_m, block_n, block_k)
+    pm, pn, pk = (-M) % bm, (-Nh) % bn, (-K) % bk
+    if pm or pk:
+        x = jnp.pad(x, ((0, pm), (0, pk)))
+    if pk or pn:
+        w_packed = jnp.pad(w_packed, ((0, pk), (0, pn)))
+    if pn:
+        scale2 = jnp.pad(scale2, ((0, 0), (0, pn)))
+    Mp, Nhp, Kp = x.shape[0], w_packed.shape[1], x.shape[1]
+    nk = Kp // bk
+    grid = (Mp // bm, Nhp // bn, nk)
+    out3 = pl.pallas_call(
+        functools.partial(_w4_matmul_kernel, nsteps_k=nk),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda i, j, k: (i, k)),
+            pl.BlockSpec((bk, bn), lambda i, j, k: (k, j)),
+            pl.BlockSpec((2, bn), lambda i, j, k: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((bm, 2, bn), lambda i, j, k: (i, 0, j)),
+        out_shape=jax.ShapeDtypeStruct((Mp, 2, Nhp), x.dtype),
+        scratch_shapes=[pltpu.VMEM((bm, 2, bn), jnp.float32)],
+        interpret=interpret,
+    )(x, w_packed, scale2)
+    return out3[:M, :, :Nh]
 
 
 def w4_matmul_reference(x, w_packed, scale):
@@ -215,8 +252,9 @@ def _w4_affine_kernel(x_ref, xsum_ref, wp_ref, sh_ref, out_ref, acc_ref, *,
 @functools.partial(jax.jit, static_argnames=("zero", "block_m", "block_n",
                                              "block_k", "interpret"))
 def w4_affine_matmul(x, w_packed, scale, *, zero: float = 0.5,
-                     block_m: int = 128, block_n: int = 256,
-                     block_k: int = 512, interpret: bool | None = None):
+                     block_m: int | None = None, block_n: int | None = None,
+                     block_k: int | None = None,
+                     interpret: bool | None = None):
     """y = x @ ((unpack(W) + zero) * scale).  x: (M, K); w_packed: uint8
     (K, N/2) planar; scale: scalar (per-tensor).  The constant offset folds
     into a rank-1 row-sum correction: y = (x @ q + zero * sum_k x) * scale."""
@@ -227,9 +265,7 @@ def w4_affine_matmul(x, w_packed, scale, *, zero: float = 0.5,
     assert K == Kw
     xsum = jnp.sum(x.astype(jnp.float32), axis=1, keepdims=True)  # (M, 1)
 
-    bm = min(block_m, _round_up(M, 16))
-    bn = min(block_n, Nh)
-    bk = min(block_k, K)
+    bm, bn, bk = _decode_blocks(M, K, Nh, block_m, block_n, block_k)
     pm, pn, pk = (-M) % bm, (-Nh) % bn, (-K) % bk
     if pm or pk:
         x = jnp.pad(x, ((0, pm), (0, pk)))
@@ -270,7 +306,47 @@ def w4_affine_matmul_reference(x, w_packed, scale, zero: float = 0.5):
 # Joint W4A4: per-token sym-quantize x to int4 inside the kernel, int4xint4
 # matmul, dual-scale dequant epilogue (the quarot serving contract:
 # Quantizer -> Linear4bit -> sym_dequant; quarot/nn/linear.py:42-56).
+#
+# Two MXU paths:
+#   bf16: exact (|products| <= 56, sums < 2^24) — used for prefill (large M,
+#         compute-rich).
+#   int8: s8 x s8 -> s32 — the MXU loads int8 weights at 2x the bf16 rate,
+#         which is THE decode bottleneck (block_sweep.py: DMA+unpack alone
+#         streams at ~700 GB/s while the bf16-dot kernel caps at ~245 GB/s
+#         independent of block shape).  Integer accumulation is exact.
 # ---------------------------------------------------------------------------
+
+def _unpack_block_i8(wp):
+    """uint8 (BK, BN) -> two int8 (BK, BN) nibble planes (via i32 ops; see
+    _unpack_block_bf16 for why)."""
+    w = wp.astype(jnp.int32)
+    lo = w & 0x0F
+    hi = (w >> 4) & 0x0F
+    lo = jnp.where(lo >= 8, lo - 16, lo).astype(jnp.int8)
+    hi = jnp.where(hi >= 8, hi - 16, hi).astype(jnp.int8)
+    return lo, hi
+
+
+def _w4a4_kernel_i8(x_ref, xs_ref, wp_ref, scale_ref, out_ref, acc_ref, *,
+                    nsteps_k):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    inv = 1.0 / xs_ref[...]                     # (bm, 1)
+    xq = jnp.clip(jnp.round(x_ref[...].astype(jnp.float32) * inv), -8, 7)
+    xq = xq.astype(jnp.int8)
+    lo, hi = _unpack_block_i8(wp_ref[...])
+    acc_ref[:, 0, :] += jnp.dot(xq, lo, preferred_element_type=jnp.int32)
+    acc_ref[:, 1, :] += jnp.dot(xq, hi, preferred_element_type=jnp.int32)
+
+    @pl.when(k == nsteps_k - 1)
+    def _():
+        deq = (acc_ref[...].astype(jnp.float32) * xs_ref[...][:, None, :]
+               * scale_ref[...].astype(jnp.float32))
+        out_ref[...] = deq.astype(out_ref.dtype)
 
 def _w4a4_kernel(x_ref, xs_ref, wp_ref, scale_ref, out_ref, acc_ref, *,
                  nsteps_k):
@@ -295,24 +371,38 @@ def _w4a4_kernel(x_ref, xs_ref, wp_ref, scale_ref, out_ref, acc_ref, *,
         out_ref[...] = deq.astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("block_m", "block_n", "block_k",
-                                             "clip_ratio", "interpret"))
-def w4a4_matmul(x, w_packed, scale, token_scale=None, *,
-                clip_ratio: float = 1.0,
-                block_m: int = 128, block_n: int = 256, block_k: int = 512,
-                interpret: bool | None = None):
-    """Per-token int4 activation quant + int4 weight matmul + dequant.
+def _decode_blocks(M, K, Nh, block_m, block_n, block_k):
+    """Block-shape defaults (None = auto).  Decode shapes (small M) want
+    FEW, BIG grid steps: the measured per-grid-step overhead (~0.6 us) caps
+    streaming at ~200 GB/s with 128 KB weight tiles, so widen tiles to
+    multi-MB until the DMA dominates (block_sweep.py numbers on v5e).
+    Prefill shapes (large M) keep MXU-balanced tiles."""
+    if block_n is None:
+        block_n = 2048 if M <= 32 else 256
+    if block_k is None:
+        block_k = 2048 if M <= 32 else 512
+    return (min(block_m or 128, _round_up(M, 16)), min(block_n, Nh),
+            min(block_k, K))
 
-    x: (M, K); w_packed: uint8 (K, N/2) planar; scale: (N,).
-    Activation scale = absmax/7 * clip_ratio per token (nn/quantization.py:4-13),
-    or an explicit `token_scale` (M, 1) — used under tensor parallelism where
-    the per-token absmax must be a global (pmax) reduction over shards.
-    """
+
+@functools.partial(jax.jit, static_argnames=("block_m", "block_n", "block_k",
+                                             "clip_ratio", "interpret",
+                                             "mxu_int8"))
+def w4a4_matmul_paired(x, w_packed, scale2, token_scale=None, *,
+                       clip_ratio: float = 1.0,
+                       block_m: int | None = None,
+                       block_n: int | None = None,
+                       block_k: int | None = None,
+                       mxu_int8: bool | None = None,
+                       interpret: bool | None = None):
+    """Paired-scale core of the W4A4 matmul: takes plane-paired scales
+    (2, Nh) and returns the plane-paired output (M, 2, Nh).  Callers that
+    CONCATENATE several packed matrices along the output dim (fused qkv /
+    up-gate) pair each segment's scales and unpair each output segment."""
     from rsq_tpu.kernels import default_interpret
     interpret = default_interpret(interpret)
     M, K = x.shape
     Nh = w_packed.shape[1]
-    N = Nh * 2
 
     if token_scale is None:
         # per-token scales need the full row: compute once outside the grid
@@ -322,9 +412,7 @@ def w4a4_matmul(x, w_packed, scale, token_scale=None, *,
     else:
         xs = token_scale.astype(jnp.float32).reshape(M, 1)
 
-    bm = min(block_m, _round_up(M, 16))
-    bn = min(block_n, Nh)
-    bk = min(block_k, K)
+    bm, bn, bk = _decode_blocks(M, K, Nh, block_m, block_n, block_k)
     pm, pn, pk = (-M) % bm, (-Nh) % bn, (-K) % bk
     if pm or pk:
         x = jnp.pad(x, ((0, pm), (0, pk)))
@@ -332,15 +420,19 @@ def w4a4_matmul(x, w_packed, scale, token_scale=None, *,
         xs = jnp.pad(xs, ((0, pm), (0, 0)), constant_values=1.0)
     if pk or pn:
         w_packed = jnp.pad(w_packed, ((0, pk), (0, pn)))
-    scale2 = pair_scales(scale)
     if pn:
         scale2 = jnp.pad(scale2, ((0, 0), (0, pn)))
     Mp, Nhp, Kp = x.shape[0], w_packed.shape[1], x.shape[1]
     nk = Kp // bk
 
+    if mxu_int8 is None:
+        mxu_int8 = M <= 32  # decode shapes: MXU weight-load bound -> int8
+    kern = _w4a4_kernel_i8 if mxu_int8 else _w4a4_kernel
+    acc_dtype = jnp.int32 if mxu_int8 else jnp.float32
+
     grid = (Mp // bm, Nhp // bn, nk)
     out3 = pl.pallas_call(
-        functools.partial(_w4a4_kernel, nsteps_k=nk),
+        functools.partial(kern, nsteps_k=nk),
         grid=grid,
         in_specs=[
             pl.BlockSpec((bm, bk), lambda i, j, k: (i, k)),
@@ -350,11 +442,32 @@ def w4a4_matmul(x, w_packed, scale, token_scale=None, *,
         ],
         out_specs=pl.BlockSpec((bm, 2, bn), lambda i, j, k: (i, 0, j)),
         out_shape=jax.ShapeDtypeStruct((Mp, 2, Nhp), x.dtype),
-        scratch_shapes=[pltpu.VMEM((bm, 2, bn), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((bm, 2, bn), acc_dtype)],
         interpret=interpret,
     )(x, xs, w_packed, scale2)
-    y = unpair_outputs(out3[:, :, :Nh])
-    return y[:M]
+    return out3[:M, :, :Nh]
+
+
+@functools.partial(jax.jit, static_argnames=("block_m", "block_n", "block_k",
+                                             "clip_ratio", "interpret",
+                                             "mxu_int8"))
+def w4a4_matmul(x, w_packed, scale, token_scale=None, *,
+                clip_ratio: float = 1.0,
+                block_m: int | None = None, block_n: int | None = None,
+                block_k: int | None = None, mxu_int8: bool | None = None,
+                interpret: bool | None = None):
+    """Per-token int4 activation quant + int4 weight matmul + dequant.
+
+    x: (M, K); w_packed: uint8 (K, N/2) planar; scale: (N,).
+    Activation scale = absmax/7 * clip_ratio per token (nn/quantization.py:4-13),
+    or an explicit `token_scale` (M, 1) — used under tensor parallelism where
+    the per-token absmax must be a global (pmax) reduction over shards.
+    """
+    out3 = w4a4_matmul_paired(
+        x, w_packed, pair_scales(scale), token_scale, clip_ratio=clip_ratio,
+        block_m=block_m, block_n=block_n, block_k=block_k,
+        mxu_int8=mxu_int8, interpret=interpret)
+    return unpair_outputs(out3)
 
 
 def w4a4_matmul_reference(x, w_packed, scale, clip_ratio: float = 1.0):

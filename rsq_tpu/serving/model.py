@@ -98,6 +98,30 @@ def serving_linear(x, p, sc: ServingConfig, tp_axis: str | None = None):
     return y.reshape(*lead, y.shape[-1])
 
 
+def serving_linear_fused(x, p, sc: ServingConfig):
+    """Fused concatenated packed linears (params.fuse_for_decode layout):
+    ONE kernel call over the concatenated output dim, then per-segment
+    unpair + bias.  Returns a list of (..., N_seg) tensors."""
+    from rsq_tpu.kernels.matmul_w4 import (unpair_outputs, w4_matmul_paired,
+                                           w4a4_matmul_paired)
+    lead = x.shape[:-1]
+    x2 = x.reshape(-1, x.shape[-1])
+    scale2 = jnp.concatenate(p["scales2"], axis=1)
+    if sc.a4:
+        y3 = w4a4_matmul_paired(x2, p["wp2"], scale2, clip_ratio=sc.a_clip)
+    else:
+        y3 = w4_matmul_paired(x2, p["wp2"], scale2)
+    outs, off = [], 0
+    for s2, b in zip(p["scales2"], p["bs"]):
+        nh = s2.shape[1]
+        seg = unpair_outputs(y3[:, :, off:off + nh])
+        off += nh
+        if b is not None:
+            seg = seg + b.astype(seg.dtype)
+        outs.append(seg.reshape(*lead, seg.shape[-1]))
+    return outs
+
+
 # ---------------------------------------------------------------------------
 # KV cache
 # ---------------------------------------------------------------------------
@@ -173,15 +197,22 @@ def _append_decode(cache, layer, k, v, pos, sc: ServingConfig):
 def _qkv(lp, h, cfg: ModelConfig, sc: ServingConfig):
     b, s, _ = h.shape
     hd, nq, nkv = cfg.head_dim_, cfg.num_attention_heads, cfg.num_key_value_heads
-    q = serving_linear(h, lp["q"], sc).reshape(b, s, nq, hd)
-    k = serving_linear(h, lp["k"], sc).reshape(b, s, nkv, hd)
-    v = serving_linear(h, lp["v"], sc).reshape(b, s, nkv, hd)
-    return q, k, v
+    if "qkv" in lp:
+        q, k, v = serving_linear_fused(h, lp["qkv"], sc)
+    else:
+        q = serving_linear(h, lp["q"], sc)
+        k = serving_linear(h, lp["k"], sc)
+        v = serving_linear(h, lp["v"], sc)
+    return (q.reshape(b, s, nq, hd), k.reshape(b, s, nkv, hd),
+            v.reshape(b, s, nkv, hd))
 
 
 def _mlp(lp, h, cfg: ModelConfig, sc: ServingConfig):
-    up = serving_linear(h, lp["up"], sc)
-    gate = serving_linear(h, lp["gate"], sc)
+    if "upgate" in lp:
+        up, gate = serving_linear_fused(h, lp["upgate"], sc)
+    else:
+        up = serving_linear(h, lp["up"], sc)
+        gate = serving_linear(h, lp["gate"], sc)
     act = jax.nn.silu(gate.astype(jnp.float32)).astype(h.dtype) * up
     if sc.online_had:
         from rsq_tpu.kernels.hadamard_mxu import hadamard_transform

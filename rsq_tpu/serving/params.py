@@ -56,6 +56,42 @@ def pack_linear_e8p(p, qinfo):
     }
 
 
+def _fuse_packed(ps):
+    """Concatenate packed linears (same K) along the packed-output axis.
+    Segment widths are recovered from the per-segment paired scales, so the
+    fused dict stays a clean pytree (no int leaves)."""
+    from rsq_tpu.kernels.matmul_w4 import pair_scales
+    return {
+        "wp2": jnp.concatenate([p["wp"] for p in ps], axis=1),
+        "scales2": [pair_scales(p["scale"]) for p in ps],
+        "bs": [p.get("b") for p in ps],
+    }
+
+
+def fuse_for_decode(params):
+    """Fuse q/k/v and up/gate packed linears per layer into single
+    concatenated kernel calls — 7 -> 4 Pallas calls per decode layer; the
+    measured fixed cost is ~15-20 us/call on v5e, ~2 ms/step at 32 layers
+    (benchmarks/decode_profile.py).  Single-device serving only: the TP path
+    shards projections individually (parallel/tp.py)."""
+    out = dict(params)
+    layers = []
+    for lp in params["layers"]:
+        packed = lambda n: n in lp and "wp" in lp[n]
+        nlp = dict(lp)
+        if all(packed(n) for n in ("q", "k", "v")):
+            nlp["qkv"] = _fuse_packed([lp["q"], lp["k"], lp["v"]])
+            for n in ("q", "k", "v"):
+                del nlp[n]
+        if all(packed(n) for n in ("up", "gate")):
+            nlp["upgate"] = _fuse_packed([lp["up"], lp["gate"]])
+            for n in ("up", "gate"):
+                del nlp[n]
+        layers.append(nlp)
+    out["layers"] = layers
+    return out
+
+
 def to_serving_params(params, quantizers, cfg: ModelConfig,
                       dtype=jnp.bfloat16):
     """Convert a quantized fake-quant model pytree + quantizer info from
