@@ -196,14 +196,17 @@ def cmd_quantize(a):
                              "weighting": a.weighting})
         logging.info("saved to %s", a.save)
 
+    result = {"quant_seconds": round(time.time() - t0, 1)}
     if a.eval:
         from rsq_tpu.eval.ppl import ppl_fullmodel
         stream = D.get_loaders(a.eval_dataset, eval_mode=True, seed=a.seed,
                                model=hf_name or "", vocab_size=cfg.vocab_size)
         policy = _policy_from_args(a, fused=a.rotate)
         ppl = ppl_fullmodel(qparams, cfg, policy, stream, a.val_seqlen, a.bsz)
-        print(json.dumps({"ppl": ppl, "dataset": a.eval_dataset,
-                          "val_seqlen": a.val_seqlen}))
+        result.update({"ppl": ppl, "dataset": a.eval_dataset,
+                       "val_seqlen": a.val_seqlen})
+        print(json.dumps(result))
+    return result
 
 
 def cmd_eval(a):

@@ -210,6 +210,73 @@ def int4_decode_attention(q, kq, kp, vq, vp, lengths, *, sm_scale=None,
     return out[:, :, :G, :].reshape(B, Hq, D)
 
 
+def _decode_kernel_pref(idx_ref, len_ref, q_ref, kq_ref, kp_ref, vq_ref,
+                        vp_ref, out_ref, m_ref, l_ref, acc_ref, *, chunk,
+                        nchunks):
+    """Scalar-prefetch twin of _decode_kernel: cache blocks come from the
+    FULL stacked (L, B, H, ...) arrays, selected by the prefetched layer
+    index (slicing the cache per layer would copy ~9 MB/layer/step)."""
+    _decode_kernel(len_ref, q_ref, kq_ref.at[0], kp_ref.at[0], vq_ref.at[0],
+                   vp_ref.at[0], out_ref, m_ref, l_ref, acc_ref,
+                   chunk=chunk, nchunks=nchunks)
+
+
+@functools.partial(jax.jit, static_argnames=("sm_scale", "chunk", "interpret"))
+def int4_decode_attention_stacked(q, kq_all, kp_all, vq_all, vp_all, layer,
+                                  lengths, *, sm_scale=None, chunk: int = 512,
+                                  interpret: bool | None = None):
+    """int4_decode_attention against layer `layer` of the stacked cache
+    (L, B, Hkv, D/2, S) without slicing it (see _decode_kernel_pref)."""
+    from rsq_tpu.kernels import default_interpret
+    interpret = default_interpret(interpret)
+    B, Hq, D = q.shape
+    L, _, Hkv, _, S = kq_all.shape
+    G = Hq // Hkv
+    Gp = max(8, G)
+    if sm_scale is None:
+        sm_scale = 1.0 / math.sqrt(D)
+
+    qg = (q.astype(jnp.float32) * sm_scale).reshape(B, Hkv, G, D)
+    if Gp != G:
+        qg = jnp.pad(qg, ((0, 0), (0, 0), (0, Gp - G), (0, 0)))
+
+    ch = min(chunk, S)
+    assert S % ch == 0, "stacked cache must be pre-padded to chunk multiples"
+    nchunks = S // ch
+
+    grid = (B, Hkv, nchunks)
+    out = pl.pallas_call(
+        functools.partial(_decode_kernel_pref, chunk=ch, nchunks=nchunks),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1, Gp, D), lambda b, h, s, idx: (b, h, 0, 0)),
+                pl.BlockSpec((1, 1, 1, D // 2, ch),
+                             lambda b, h, s, idx: (idx[0], b, h, 0, s)),
+                pl.BlockSpec((1, 1, 1, 2, ch),
+                             lambda b, h, s, idx: (idx[0], b, h, 0, s)),
+                pl.BlockSpec((1, 1, 1, D // 2, ch),
+                             lambda b, h, s, idx: (idx[0], b, h, 0, s)),
+                pl.BlockSpec((1, 1, 1, 2, ch),
+                             lambda b, h, s, idx: (idx[0], b, h, 0, s)),
+            ],
+            out_specs=pl.BlockSpec((1, 1, Gp, D),
+                                   lambda b, h, s, idx: (b, h, 0, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((Gp, 128), jnp.float32),
+                pltpu.VMEM((Gp, 128), jnp.float32),
+                pltpu.VMEM((Gp, D), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, Hkv, Gp, D), q.dtype),
+        interpret=interpret,
+    )(jnp.asarray(layer, jnp.int32).reshape(1), lengths.astype(jnp.int32),
+      qg, kq_all, kp_all, vq_all, vp_all)
+    return out[:, :, :G, :].reshape(B, Hq, D)
+
+
 def int4_decode_attention_reference(q, kq, kp, vq, vp, lengths, sm_scale=None):
     """Pure-jnp oracle on the lane-major cache: dequantize everything,
     masked softmax attention."""

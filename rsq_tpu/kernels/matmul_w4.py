@@ -31,6 +31,17 @@ def _round_up(v: int, m: int) -> int:
     return ((v + m - 1) // m) * m
 
 
+def _divisor_block(n: int, target: int, align: int = 128) -> int:
+    """Largest lane-aligned block <= target that DIVIDES n (the stacked
+    prefetch kernels cannot pad — padding would reintroduce the copy)."""
+    if n <= target:
+        return n
+    for b in range(min(target, n - n % align), 0, -align):
+        if n % b == 0:
+            return b
+    return n
+
+
 # ---------------------------------------------------------------------------
 # Packing (host/jnp level)
 # ---------------------------------------------------------------------------
@@ -339,8 +350,14 @@ def _w4a4_kernel_i8(x_ref, xs_ref, wp_ref, scale_ref, out_ref, acc_ref, *,
     xq = jnp.clip(jnp.round(x_ref[...].astype(jnp.float32) * inv), -8, 7)
     xq = xq.astype(jnp.int8)
     lo, hi = _unpack_block_i8(wp_ref[...])
-    acc_ref[:, 0, :] += jnp.dot(xq, lo, preferred_element_type=jnp.int32)
-    acc_ref[:, 1, :] += jnp.dot(xq, hi, preferred_element_type=jnp.int32)
+    # ONE dot over the plane-concatenated weights: at decode M the MXU is
+    # tile-latency bound, so halving the number of dot ops (and their
+    # pipeline bubbles) beats two narrower dots
+    w2 = jnp.concatenate([lo, hi], axis=1)       # (bk, 2*bn)
+    y = jnp.dot(xq, w2, preferred_element_type=jnp.int32)
+    bn = lo.shape[1]
+    acc_ref[:, 0, :] += y[:, :bn]
+    acc_ref[:, 1, :] += y[:, bn:]
 
     @pl.when(k == nsteps_k - 1)
     def _():
@@ -377,10 +394,12 @@ def _decode_blocks(M, K, Nh, block_m, block_n, block_k):
     streaming at ~200 GB/s with 128 KB weight tiles, so widen tiles to
     multi-MB until the DMA dominates (block_sweep.py numbers on v5e).
     Prefill shapes (large M) keep MXU-balanced tiles."""
+    # decode defaults from the v5e sweep: (bn=2048, bk=1024) is the fastest
+    # shape that compiles (4 MB double-buffered weight tiles overflow VMEM)
     if block_n is None:
         block_n = 2048 if M <= 32 else 256
     if block_k is None:
-        block_k = 2048 if M <= 32 else 512
+        block_k = 1024 if M <= 32 else 512
     return (min(block_m or 128, _round_up(M, 16)), min(block_n, Nh),
             min(block_k, K))
 
@@ -446,6 +465,101 @@ def w4a4_matmul_paired(x, w_packed, scale2, token_scale=None, *,
         interpret=interpret,
     )(x, xs, w_packed, scale2)
     return out3[:M, :, :Nh]
+
+
+def _w4a4_kernel_i8_pref(idx_ref, x_ref, xs_ref, wp_ref, scale_ref, out_ref,
+                         acc_ref, *, nsteps_k):
+    """Scalar-prefetch variant: wp_ref is a (1, bk, bn) block of the FULL
+    stacked (L, K, Nh) weights, selected by the prefetched layer index —
+    the layer loop never slices (= copies) a weight matrix in HBM."""
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    inv = 1.0 / xs_ref[...]
+    xq = jnp.clip(jnp.round(x_ref[...].astype(jnp.float32) * inv), -8, 7)
+    xq = xq.astype(jnp.int8)
+    lo, hi = _unpack_block_i8(wp_ref[0])
+    w2 = jnp.concatenate([lo, hi], axis=1)
+    y = jnp.dot(xq, w2, preferred_element_type=jnp.int32)
+    bn = lo.shape[1]
+    acc_ref[:, 0, :] += y[:, :bn]
+    acc_ref[:, 1, :] += y[:, bn:]
+
+    @pl.when(k == nsteps_k - 1)
+    def _():
+        deq = (acc_ref[...].astype(jnp.float32) * xs_ref[...][:, None, :]
+               * scale_ref[...].astype(jnp.float32))
+        out_ref[...] = deq.astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_m", "block_n", "block_k",
+                                             "clip_ratio", "interpret"))
+def w4a4_matmul_paired_stacked(x, wp_all, scale2, layer, token_scale=None, *,
+                               clip_ratio: float = 1.0,
+                               block_m: int | None = None,
+                               block_n: int | None = None,
+                               block_k: int | None = None,
+                               interpret: bool | None = None):
+    """W4A4 matmul against layer `layer` of STACKED weights wp_all
+    (L, K, Nh) without slicing them: the layer index is a scalar-prefetch
+    operand consumed by the weight BlockSpec's index_map, so the kernel DMAs
+    only that layer's tiles straight from the stacked buffer.  A
+    `wp_all[layer]` slice feeding pallas_call would materialize a 100 MB+
+    HBM copy per layer per step (custom calls cannot fuse dynamic-slice) —
+    measured at ~2/3 of the whole decode step's HBM traffic.
+
+    scale2: (2, Nh) pre-paired scales for THIS layer (sliced by the caller;
+    ~100 KB, negligible).  Returns plane-paired (M, 2, Nh).  Decode int8-MXU
+    path only (the prefill/a4 path uses the unstacked kernels)."""
+    from rsq_tpu.kernels import default_interpret
+    interpret = default_interpret(interpret)
+    M, K = x.shape
+    L, Kw, Nh = wp_all.shape
+    assert K == Kw
+
+    if token_scale is None:
+        absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=1,
+                         keepdims=True)
+        xs = jnp.where(absmax == 0, 1.0, absmax * clip_ratio / 7.0)
+    else:
+        xs = token_scale.astype(jnp.float32).reshape(M, 1)
+
+    bm, bn, bk = _decode_blocks(M, K, Nh, block_m, block_n, block_k)
+    bn = _divisor_block(Nh, bn)
+    bk = _divisor_block(K, bk)
+    pm, pk = (-M) % bm, (-K) % bk
+    assert Nh % bn == 0 and K % bk == 0, (
+        "stacked weights must be pre-padded to block multiples")
+    if pm:
+        x = jnp.pad(x, ((0, pm), (0, 0)))
+        xs = jnp.pad(xs, ((0, pm), (0, 0)), constant_values=1.0)
+    Mp = x.shape[0]
+    nk = K // bk
+
+    grid = (Mp // bm, Nh // bn, nk)
+    out3 = pl.pallas_call(
+        functools.partial(_w4a4_kernel_i8_pref, nsteps_k=nk),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((bm, bk), lambda i, j, k, idx: (i, k)),
+                pl.BlockSpec((bm, 1), lambda i, j, k, idx: (i, 0)),
+                pl.BlockSpec((1, bk, bn),
+                             lambda i, j, k, idx: (idx[0], k, j)),
+                pl.BlockSpec((2, bn), lambda i, j, k, idx: (0, j)),
+            ],
+            out_specs=pl.BlockSpec((bm, 2, bn),
+                                   lambda i, j, k, idx: (i, 0, j)),
+            scratch_shapes=[pltpu.VMEM((bm, 2, bn), jnp.int32)],
+        ),
+        out_shape=jax.ShapeDtypeStruct((Mp, 2, Nh), x.dtype),
+        interpret=interpret,
+    )(jnp.asarray(layer, jnp.int32).reshape(1), x, xs, wp_all, scale2)
+    return out3[:M]
 
 
 @functools.partial(jax.jit, static_argnames=("block_m", "block_n", "block_k",

@@ -451,7 +451,12 @@ def prefill_stacked(params, cache, input_ids, sc: ServingConfig):
 
 @partial(jax.jit, static_argnames=("sc",))
 def decode_step_stacked(params, cache, token_ids, sc: ServingConfig):
-    """Scan-over-layers decode step; sequences may have unequal lengths."""
+    """One-compiled-body decode step over stacked layers; sequences may have
+    unequal lengths.  INT4-cache models take the copy-free path (stacked
+    weights/cache indexed INSIDE the Pallas kernels via scalar prefetch);
+    bf16-cache models keep the lax.scan layer loop."""
+    if sc.kv_int4:
+        return _decode_step_fast(params, cache, token_ids, sc)
     cfg = sc.cfg
     per_layer, length = _cache_slices(cache)
     pos = length                             # (B,)
@@ -467,6 +472,134 @@ def decode_step_stacked(params, cache, token_ids, sc: ServingConfig):
 
     x, per_layer = jax.lax.scan(step, x, (params["layers_stacked"], per_layer))
     cache = dict(per_layer)
+    cache["length"] = length + 1
+    x = M.rms_norm(x, params.get("final_norm"), cfg.rms_norm_eps)
+    logits = (x @ params["lm_head"].astype(x.dtype))[:, 0]
+    return logits, cache
+
+
+# ---------------------------------------------------------------------------
+# Copy-free stacked decode.  lax.scan slices every xs leaf per iteration,
+# and a sliced weight feeding pallas_call materializes an HBM copy (custom
+# calls cannot fuse dynamic-slice): at Llama-3-8B that is ~109 MB copied
+# per layer per token — 2/3 of the step's entire HBM traffic (measured;
+# block_sweep/decode_profile r2).  Here the layer loop is a fori_loop whose
+# Pallas kernels take the FULL stacked arrays and the layer index as a
+# scalar-prefetch operand, so weights and cache stream exactly once.
+# ---------------------------------------------------------------------------
+
+def _sl(p, i):
+    """Slice an optional stacked leaf."""
+    return None if p is None else p[i]
+
+
+def _linear_fast(x2, p, i, sc: ServingConfig):
+    """Per-layer linear against stacked params p at layer i.  Fused entries
+    ('wp2') return a list of segment outputs; plain entries return one."""
+    from rsq_tpu.kernels.matmul_w4 import (
+        pair_scales, unpair_outputs, w4_affine_matmul, w4_matmul,
+        w4a4_matmul, w4a4_matmul_paired_stacked)
+    if "wp2" in p:
+        scale2 = jnp.concatenate([s[i] for s in p["scales2"]], axis=1)
+        if sc.a4:
+            y3 = w4a4_matmul_paired_stacked(x2, p["wp2"], scale2, i,
+                                            clip_ratio=sc.a_clip)
+        else:
+            from rsq_tpu.kernels.matmul_w4 import w4_matmul_paired
+            y3 = w4_matmul_paired(x2, p["wp2"][i], scale2)
+        outs, off = [], 0
+        for s, b in zip(p["scales2"], p["bs"]):
+            nh = s.shape[-1]
+            seg = unpair_outputs(y3[:, :, off:off + nh])
+            off += nh
+            if b is not None:
+                seg = seg + b[i].astype(seg.dtype)
+            outs.append(seg)
+        return outs
+    if "sh" in p:
+        y = w4_affine_matmul(x2, p["wp"][i], p["sh"][i])
+    elif "wp" in p:
+        if sc.a4:
+            y3 = w4a4_matmul_paired_stacked(x2, p["wp"],
+                                            pair_scales(p["scale"][i]), i,
+                                            clip_ratio=sc.a_clip)
+            y = unpair_outputs(y3)
+        else:
+            y = w4_matmul(x2, p["wp"][i], p["scale"][i])
+    else:
+        y = x2 @ p["w"][i].astype(x2.dtype)
+    if p.get("b") is not None:
+        y = y + p["b"][i].astype(y.dtype)
+    return y
+
+
+def _decode_step_fast(params, cache, token_ids, sc: ServingConfig):
+    cfg = sc.cfg
+    ls = params["layers_stacked"]
+    L = cache["kq"].shape[0]
+    length = cache["length"]
+    pos = length
+    b = token_ids.shape[0]
+    hd = cfg.head_dim_
+    nq, nkv = cfg.num_attention_heads, cfg.num_key_value_heads
+    bidx = jnp.arange(b)
+
+    x = params["embed"][token_ids][:, None, :].astype(jnp.bfloat16)
+    cos, sin = M.rope_tables(cfg, pos)
+    cos, sin = cos[:, None, :], sin[:, None, :]
+
+    def body(i, carry):
+        x, cache = carry
+        h = M.rms_norm(x, _sl(ls.get("input_norm"), i), cfg.rms_norm_eps)
+        h2d = h.reshape(b, -1)
+        if "qkv" in ls:
+            q, k, v = _linear_fast(h2d, ls["qkv"], i, sc)
+        else:
+            q = _linear_fast(h2d, ls["q"], i, sc)
+            k = _linear_fast(h2d, ls["k"], i, sc)
+            v = _linear_fast(h2d, ls["v"], i, sc)
+        q = M.apply_rope(q.reshape(b, 1, nq, hd), cos, sin)
+        k = M.apply_rope(k.reshape(b, 1, nkv, hd), cos, sin)
+
+        kb = jnp.swapaxes(k, 1, 2)               # (B, H, 1, D)
+        vb = jnp.swapaxes(v.reshape(b, 1, nkv, hd), 1, 2)
+        if sc.kv_hadamard:
+            kb = hadamard_transform_last(kb)
+        kq_, kp_ = KVK.to_lane_major(*KVK.asym_quant_pack_head(kb))
+        vq_, vp_ = KVK.to_lane_major(*KVK.asym_quant_pack_head(vb))
+        for name, val in (("kq", kq_), ("kp", kp_), ("vq", vq_),
+                          ("vp", vp_)):
+            cache[name] = cache[name].at[i, bidx, :, :, pos].set(
+                val[..., 0].astype(cache[name].dtype))
+
+        qh = q.reshape(b, nq, hd)
+        if sc.kv_hadamard:
+            qh = hadamard_transform_last(qh)
+        attn = KVK.int4_decode_attention_stacked(
+            qh, cache["kq"], cache["kp"], cache["vq"], cache["vp"], i,
+            length + 1)
+        attn = attn.reshape(b, 1, nq * hd)
+        if sc.online_had:
+            attn = head_mixing_hadamard(attn, head_dim=hd)
+        o = _linear_fast(attn.reshape(b, -1), ls["o"], i, sc)
+        x = x + o.reshape(b, 1, -1)
+
+        h2 = M.rms_norm(x, _sl(ls.get("post_norm"), i), cfg.rms_norm_eps)
+        h2d2 = h2.reshape(b, -1)
+        if "upgate" in ls:
+            up, gate = _linear_fast(h2d2, ls["upgate"], i, sc)
+        else:
+            up = _linear_fast(h2d2, ls["up"], i, sc)
+            gate = _linear_fast(h2d2, ls["gate"], i, sc)
+        act = jax.nn.silu(gate.astype(jnp.float32)).astype(h2.dtype) * up
+        if sc.online_had:
+            from rsq_tpu.kernels.hadamard_mxu import hadamard_transform
+            act = hadamard_transform(act)
+        down = _linear_fast(act, ls["down"], i, sc)
+        return (x + down.reshape(b, 1, -1), cache)
+
+    x, cache = jax.lax.fori_loop(0, L, body, (x, cache))
+    cache = dict(cache)
     cache["length"] = length + 1
     x = M.rms_norm(x, params.get("final_norm"), cfg.rms_norm_eps)
     logits = (x @ params["lm_head"].astype(x.dtype))[:, 0]
