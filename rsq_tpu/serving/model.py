@@ -565,19 +565,32 @@ def _decode_step_fast(params, cache, token_ids, sc: ServingConfig):
         vb = jnp.swapaxes(v.reshape(b, 1, nkv, hd), 1, 2)
         if sc.kv_hadamard:
             kb = hadamard_transform_last(kb)
-        kq_, kp_ = KVK.to_lane_major(*KVK.asym_quant_pack_head(kb))
-        vq_, vp_ = KVK.to_lane_major(*KVK.asym_quant_pack_head(vb))
-        for name, val in (("kq", kq_), ("kp", kp_), ("vq", vq_),
-                          ("vp", vp_)):
-            cache[name] = cache[name].at[i, bidx, :, :, pos].set(
-                val[..., 0].astype(cache[name].dtype))
+        kq_t, kp_t = KVK.asym_quant_pack_head(kb)   # token-major
+        vq_t, vp_t = KVK.asym_quant_pack_head(vb)
 
         qh = q.reshape(b, nq, hd)
         if sc.kv_hadamard:
             qh = hadamard_transform_last(qh)
-        attn = KVK.int4_decode_attention_stacked(
+        # attend over the OLD cache (kernel only READS it) and fold the new
+        # token in analytically: XLA can then apply the appends below in
+        # place — a scatter racing a custom-call consumer copies the whole
+        # cache per layer (~300 MB, 76 ms of a 90 ms step, measured)
+        out_old, m_old, l_old = KVK.int4_decode_attention_stacked(
             qh, cache["kq"], cache["kp"], cache["vq"], cache["vp"], i,
-            length + 1)
+            length)
+        qs = (qh.astype(jnp.float32) / jnp.sqrt(jnp.float32(hd))
+              ).reshape(b, nkv, nq // nkv, hd)
+        k_self = KVK.unpack_dequant_head(kq_t, kp_t)   # (B, H, 1, D)
+        v_self = KVK.unpack_dequant_head(vq_t, vp_t)
+        attn = KVK.merge_self_attention(out_old, m_old, l_old, qs,
+                                        k_self, v_self)
+
+        kq_, kp_ = KVK.to_lane_major(kq_t, kp_t)
+        vq_, vp_ = KVK.to_lane_major(vq_t, vp_t)
+        for name, val in (("kq", kq_), ("kp", kp_), ("vq", vq_),
+                          ("vp", vp_)):
+            cache[name] = cache[name].at[i, bidx, :, :, pos].set(
+                val[..., 0].astype(cache[name].dtype))
         attn = attn.reshape(b, 1, nq * hd)
         if sc.online_had:
             attn = head_mixing_hadamard(attn, head_dim=hd)
