@@ -80,6 +80,22 @@ def to_lane_major(packed, params):
     return (jnp.swapaxes(packed, -1, -2), jnp.swapaxes(params, -1, -2))
 
 
+def pick_chunk(S: int, target: int) -> int:
+    """Largest sequence-chunk <= target that DIVIDES S, preferring
+    lane-aligned (128-multiple) chunks.  The stacked decode kernel cannot
+    pad the cache (padding would copy it — the very thing it exists to
+    avoid), so non-chunk-multiple max_seq must adapt the chunk instead of
+    asserting (ADVICE r2 #1)."""
+    t = min(target, S)
+    for c in range(t - t % 128, 0, -128):
+        if S % c == 0:
+            return c
+    for c in range(t, 0, -1):
+        if S % c == 0:
+            return c
+    return S
+
+
 # ---------------------------------------------------------------------------
 # Decode kernel
 # ---------------------------------------------------------------------------
@@ -256,8 +272,7 @@ def int4_decode_attention_stacked(q, kq_all, kp_all, vq_all, vp_all, layer,
     if Gp != G:
         qg = jnp.pad(qg, ((0, 0), (0, 0), (0, Gp - G), (0, 0)))
 
-    ch = min(chunk, S)
-    assert S % ch == 0, "stacked cache must be pre-padded to chunk multiples"
+    ch = pick_chunk(S, chunk)
     nchunks = S // ch
 
     grid = (B, Hkv, nchunks)

@@ -562,6 +562,155 @@ def w4a4_matmul_paired_stacked(x, wp_all, scale2, layer, token_scale=None, *,
     return out3[:M]
 
 
+def _w4_kernel_pref(idx_ref, x_ref, wp_ref, scale_ref, out_ref, acc_ref, *,
+                    nsteps_k):
+    """Scalar-prefetch weight-only W4 kernel over stacked (L, K, Nh) weights
+    (bf16 x, no activation quant) — the non-a4 twin of
+    _w4a4_kernel_i8_pref (ADVICE r2 #5)."""
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    x = x_ref[...]
+    lo, hi = _unpack_block_bf16(wp_ref[0])
+    w2 = jnp.concatenate([lo, hi], axis=1)
+    y = jnp.dot(x, w2, preferred_element_type=jnp.float32)
+    bn = lo.shape[1]
+    acc_ref[:, 0, :] += y[:, :bn]
+    acc_ref[:, 1, :] += y[:, bn:]
+
+    @pl.when(k == nsteps_k - 1)
+    def _():
+        out_ref[...] = (acc_ref[...] * scale_ref[...].astype(jnp.float32)
+                        ).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_m", "block_n", "block_k",
+                                             "interpret"))
+def w4_matmul_paired_stacked(x, wp_all, scale2, layer, *,
+                             block_m: int | None = None,
+                             block_n: int | None = None,
+                             block_k: int | None = None,
+                             interpret: bool | None = None):
+    """Weight-only W4 matmul against layer `layer` of stacked weights
+    (L, K, Nh) without slicing them (scalar-prefetch index; see
+    w4a4_matmul_paired_stacked).  scale2: (2, Nh) this layer's paired
+    scales.  Returns plane-paired (M, 2, Nh)."""
+    from rsq_tpu.kernels import default_interpret
+    interpret = default_interpret(interpret)
+    M, K = x.shape
+    L, Kw, Nh = wp_all.shape
+    assert K == Kw
+
+    bm, bn, bk = _decode_blocks(M, K, Nh, block_m, block_n, block_k)
+    bn = _divisor_block(Nh, bn)
+    bk = _divisor_block(K, bk)
+    pm = (-M) % bm
+    if pm:
+        x = jnp.pad(x, ((0, pm), (0, 0)))
+    Mp = x.shape[0]
+    nk = K // bk
+
+    grid = (Mp // bm, Nh // bn, nk)
+    out3 = pl.pallas_call(
+        functools.partial(_w4_kernel_pref, nsteps_k=nk),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((bm, bk), lambda i, j, k, idx: (i, k)),
+                pl.BlockSpec((1, bk, bn),
+                             lambda i, j, k, idx: (idx[0], k, j)),
+                pl.BlockSpec((2, bn), lambda i, j, k, idx: (0, j)),
+            ],
+            out_specs=pl.BlockSpec((bm, 2, bn),
+                                   lambda i, j, k, idx: (i, 0, j)),
+            scratch_shapes=[pltpu.VMEM((bm, 2, bn), jnp.float32)],
+        ),
+        out_shape=jax.ShapeDtypeStruct((Mp, 2, Nh), x.dtype),
+        interpret=interpret,
+    )(jnp.asarray(layer, jnp.int32).reshape(1), x, wp_all, scale2)
+    return out3[:M]
+
+
+def _w4_affine_kernel_pref(idx_ref, x_ref, xsum_ref, wp_ref, sh_ref, out_ref,
+                           acc_ref, *, nsteps_k, zero):
+    """Scalar-prefetch affine (E8P re-encoded) kernel over stacked weights;
+    sh_ref is the (L,) per-layer scalar scale vector in SMEM."""
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    x = x_ref[...]
+    lo, hi = _unpack_block_bf16(wp_ref[0])
+    w2 = jnp.concatenate([lo, hi], axis=1)
+    y = jnp.dot(x, w2, preferred_element_type=jnp.float32)
+    bn = lo.shape[1]
+    acc_ref[:, 0, :] += y[:, :bn]
+    acc_ref[:, 1, :] += y[:, bn:]
+
+    @pl.when(k == nsteps_k - 1)
+    def _():
+        sh = sh_ref[idx_ref[0]]
+        corr = zero * xsum_ref[...][:, :, None]
+        out_ref[...] = ((acc_ref[...] + corr) * sh).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("zero", "block_m", "block_n",
+                                             "block_k", "interpret"))
+def w4_affine_matmul_stacked(x, wp_all, sh_all, layer, *, zero: float = 0.5,
+                             block_m: int | None = None,
+                             block_n: int | None = None,
+                             block_k: int | None = None,
+                             interpret: bool | None = None):
+    """w4_affine_matmul against layer `layer` of stacked (L, K, Nh) weights
+    + (L,) per-layer scalar scales, copy-free (scalar-prefetch index)."""
+    from rsq_tpu.kernels import default_interpret
+    interpret = default_interpret(interpret)
+    M, K = x.shape
+    L, Kw, Nh = wp_all.shape
+    assert K == Kw
+    xsum = jnp.sum(x.astype(jnp.float32), axis=1, keepdims=True)
+
+    bm, bn, bk = _decode_blocks(M, K, Nh, block_m, block_n, block_k)
+    bn = _divisor_block(Nh, bn)
+    bk = _divisor_block(K, bk)
+    pm = (-M) % bm
+    if pm:
+        x = jnp.pad(x, ((0, pm), (0, 0)))
+        xsum = jnp.pad(xsum, ((0, pm), (0, 0)))
+    Mp = x.shape[0]
+    nk = K // bk
+
+    grid = (Mp // bm, Nh // bn, nk)
+    out3 = pl.pallas_call(
+        functools.partial(_w4_affine_kernel_pref, nsteps_k=nk, zero=zero),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((bm, bk), lambda i, j, k, idx: (i, k)),
+                pl.BlockSpec((bm, 1), lambda i, j, k, idx: (i, 0)),
+                pl.BlockSpec((1, bk, bn),
+                             lambda i, j, k, idx: (idx[0], k, j)),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ],
+            out_specs=pl.BlockSpec((bm, 2, bn),
+                                   lambda i, j, k, idx: (i, 0, j)),
+            scratch_shapes=[pltpu.VMEM((bm, 2, bn), jnp.float32)],
+        ),
+        out_shape=jax.ShapeDtypeStruct((Mp, 2, Nh), x.dtype),
+        interpret=interpret,
+    )(jnp.asarray(layer, jnp.int32).reshape(1), x, xsum, wp_all,
+      jnp.asarray(sh_all, jnp.float32).reshape(-1))
+    y = unpair_outputs(out3[:, :, :Nh])
+    return y[:M]
+
+
 @functools.partial(jax.jit, static_argnames=("block_m", "block_n", "block_k",
                                              "clip_ratio", "interpret",
                                              "mxu_int8"))

@@ -175,6 +175,72 @@ def int4_paged_decode_attention(q, kq, kp, vq, vp, page_table, lengths, *,
     return out[:, :, :G, :].reshape(B, Hq, D)
 
 
+def _paged_decode_kernel_stk(lyr_ref, ptab_ref, len_ref, q_ref, kq_ref,
+                             kp_ref, vq_ref, vp_ref, out_ref, m_ref, l_ref,
+                             acc_ref, *, page, npages):
+    """Stacked twin of _paged_decode_kernel: pool blocks come from the FULL
+    (L, P, ...) pool selected by the prefetched layer index, so the decode
+    layer loop never slices (= copies) the pool per layer (ADVICE r2 #5)."""
+    _paged_decode_kernel(ptab_ref, len_ref, q_ref, kq_ref.at[0], kp_ref.at[0],
+                         vq_ref.at[0], vp_ref.at[0], out_ref, m_ref, l_ref,
+                         acc_ref, page=page, npages=npages)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("sm_scale", "interpret"))
+def int4_paged_decode_attention_stacked(q, kq_all, kp_all, vq_all, vp_all,
+                                        layer, page_table, lengths, *,
+                                        sm_scale=None,
+                                        interpret: bool | None = None):
+    """int4_paged_decode_attention against layer `layer` of the stacked pool
+    (L, P, Hkv, D/2, page) without slicing it."""
+    from rsq_tpu.kernels import default_interpret
+    interpret = default_interpret(interpret)
+    B, Hq, D = q.shape
+    L, P, Hkv, _, page = kq_all.shape
+    NP = page_table.shape[1]
+    G = Hq // Hkv
+    Gp = max(8, G)
+    if sm_scale is None:
+        sm_scale = 1.0 / math.sqrt(D)
+
+    qg = (q.astype(jnp.float32) * sm_scale).reshape(B, Hkv, G, D)
+    if Gp != G:
+        qg = jnp.pad(qg, ((0, 0), (0, 0), (0, Gp - G), (0, 0)))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,  # layer, page_table, lengths
+        grid=(B, Hkv, NP),
+        in_specs=[
+            pl.BlockSpec((1, 1, Gp, D),
+                         lambda b, h, p, ly, pt, ln: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, 1, D // 2, page),
+                         lambda b, h, p, ly, pt, ln: (ly[0], pt[b, p], h, 0, 0)),
+            pl.BlockSpec((1, 1, 1, 2, page),
+                         lambda b, h, p, ly, pt, ln: (ly[0], pt[b, p], h, 0, 0)),
+            pl.BlockSpec((1, 1, 1, D // 2, page),
+                         lambda b, h, p, ly, pt, ln: (ly[0], pt[b, p], h, 0, 0)),
+            pl.BlockSpec((1, 1, 1, 2, page),
+                         lambda b, h, p, ly, pt, ln: (ly[0], pt[b, p], h, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, Gp, D),
+                               lambda b, h, p, ly, pt, ln: (b, h, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((Gp, 128), jnp.float32),
+            pltpu.VMEM((Gp, 128), jnp.float32),
+            pltpu.VMEM((Gp, D), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_paged_decode_kernel_stk, page=page, npages=NP),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, Hkv, Gp, D), q.dtype),
+        interpret=interpret,
+    )(jnp.asarray(layer, jnp.int32).reshape(1), page_table.astype(jnp.int32),
+      lengths.astype(jnp.int32), qg, kq_all, kp_all, vq_all, vp_all)
+    return out[:, :, :G, :].reshape(B, Hq, D)
+
+
 def int4_paged_decode_attention_reference(q, kq, kp, vq, vp, page_table,
                                           lengths, sm_scale=None):
     """Pure-jnp oracle: gather the table's pages into a contiguous

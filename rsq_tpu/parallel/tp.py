@@ -46,14 +46,19 @@ def make_mesh(n_devices: int | None = None, dp: int = 1) -> Mesh:
 # ---------------------------------------------------------------------------
 
 def _linear_spec(kind: str):
-    """kind: col (out over tp) | row (in over tp) | rep."""
+    """kind: col (out over tp) | row (in over tp) | rep.
+
+    "sh" is the E8P affine per-tensor scalar scale (replicated); legacy
+    "codes"/"e8p_scale" checkpoints are replicated too — the affine "wp"
+    shards like any planar int4 weight (ADVICE r2 #3)."""
+    e8p = {"sh": P(), "codes": P(), "e8p_scale": P()}
     if kind == "col":
         return {"wp": P(None, "tp"), "scale": P("tp"), "b": P("tp"),
-                "w": P(None, "tp")}
+                "w": P(None, "tp"), **e8p}
     if kind == "row":
         return {"wp": P("tp", None), "scale": P(), "b": P(),
-                "w": P("tp", None)}
-    return {"wp": P(), "scale": P(), "b": P(), "w": P()}
+                "w": P("tp", None), **e8p}
+    return {"wp": P(), "scale": P(), "b": P(), "w": P(), **e8p}
 
 
 _LAYER_KINDS = {"q": "col", "k": "col", "v": "col", "o": "row",

@@ -497,16 +497,15 @@ def _linear_fast(x2, p, i, sc: ServingConfig):
     """Per-layer linear against stacked params p at layer i.  Fused entries
     ('wp2') return a list of segment outputs; plain entries return one."""
     from rsq_tpu.kernels.matmul_w4 import (
-        pair_scales, unpair_outputs, w4_affine_matmul, w4_matmul,
-        w4a4_matmul, w4a4_matmul_paired_stacked)
+        pair_scales, unpair_outputs, w4_affine_matmul_stacked,
+        w4_matmul_paired_stacked, w4a4_matmul_paired_stacked)
     if "wp2" in p:
         scale2 = jnp.concatenate([s[i] for s in p["scales2"]], axis=1)
         if sc.a4:
             y3 = w4a4_matmul_paired_stacked(x2, p["wp2"], scale2, i,
                                             clip_ratio=sc.a_clip)
         else:
-            from rsq_tpu.kernels.matmul_w4 import w4_matmul_paired
-            y3 = w4_matmul_paired(x2, p["wp2"][i], scale2)
+            y3 = w4_matmul_paired_stacked(x2, p["wp2"], scale2, i)
         outs, off = [], 0
         for s, b in zip(p["scales2"], p["bs"]):
             nh = s.shape[-1]
@@ -517,7 +516,7 @@ def _linear_fast(x2, p, i, sc: ServingConfig):
             outs.append(seg)
         return outs
     if "sh" in p:
-        y = w4_affine_matmul(x2, p["wp"][i], p["sh"][i])
+        y = w4_affine_matmul_stacked(x2, p["wp"], p["sh"], i)
     elif "wp" in p:
         if sc.a4:
             y3 = w4a4_matmul_paired_stacked(x2, p["wp"],
@@ -525,7 +524,9 @@ def _linear_fast(x2, p, i, sc: ServingConfig):
                                             clip_ratio=sc.a_clip)
             y = unpair_outputs(y3)
         else:
-            y = w4_matmul(x2, p["wp"][i], p["scale"][i])
+            y3 = w4_matmul_paired_stacked(x2, p["wp"],
+                                          pair_scales(p["scale"][i]), i)
+            y = unpair_outputs(y3)
     else:
         y = x2 @ p["w"][i].astype(x2.dtype)
     if p.get("b") is not None:
@@ -542,7 +543,6 @@ def _decode_step_fast(params, cache, token_ids, sc: ServingConfig):
     b = token_ids.shape[0]
     hd = cfg.head_dim_
     nq, nkv = cfg.num_attention_heads, cfg.num_key_value_heads
-    bidx = jnp.arange(b)
 
     x = params["embed"][token_ids][:, None, :].astype(jnp.bfloat16)
     cos, sin = M.rope_tables(cfg, pos)
@@ -587,10 +587,20 @@ def _decode_step_fast(params, cache, token_ids, sc: ServingConfig):
 
         kq_, kp_ = KVK.to_lane_major(kq_t, kp_t)
         vq_, vp_ = KVK.to_lane_major(vq_t, vp_t)
+        # per-batch dynamic_update_slice, NOT a batched scatter: a scatter
+        # with a vector of positions makes XLA pick a non-default layout for
+        # the stacked cache, and every Pallas consumer (default layout only)
+        # then relayout-copies the full 268 MB arrays EVERY layer — measured
+        # at 79% of the decode step (benchmarks/trace_decode.py, r3).  DUS is
+        # layout-neutral and applied in place inside the loop carry.
         for name, val in (("kq", kq_), ("kp", kp_), ("vq", vq_),
                           ("vp", vp_)):
-            cache[name] = cache[name].at[i, bidx, :, :, pos].set(
-                val[..., 0].astype(cache[name].dtype))
+            arr = cache[name]
+            for bb in range(b):
+                upd = val[bb, :, :, 0:1].astype(arr.dtype)[None, None]
+                arr = jax.lax.dynamic_update_slice(
+                    arr, upd, (i, bb, 0, 0, pos[bb]))
+            cache[name] = arr
         attn = attn.reshape(b, 1, nq * hd)
         if sc.online_had:
             attn = head_mixing_hadamard(attn, head_dim=hd)

@@ -77,7 +77,11 @@ def fuse_for_decode(params):
     out = dict(params)
     layers = []
     for lp in params["layers"]:
-        packed = lambda n: n in lp and "wp" in lp[n]
+        # only plain sym-scale packed linears fuse; E8P affine entries also
+        # carry "wp" but use a per-tensor "sh" scale with a +0.5 offset that
+        # the paired kernel would silently drop (ADVICE r2 #2)
+        packed = lambda n: (n in lp and "wp" in lp[n] and "scale" in lp[n]
+                            and "sh" not in lp[n])
         nlp = dict(lp)
         if all(packed(n) for n in ("q", "k", "v")):
             nlp["qkv"] = _fuse_packed([lp["q"], lp["k"], lp["v"]])
