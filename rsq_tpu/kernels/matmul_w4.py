@@ -138,9 +138,10 @@ def _w4_matmul_kernel(x_ref, wp_ref, scale_ref, out_ref, acc_ref, *,
 
 
 @functools.partial(jax.jit, static_argnames=("block_m", "block_n", "block_k",
-                                             "interpret"))
+                                             "decode", "interpret"))
 def w4_matmul(x, w_packed, scale, *, block_m: int | None = None,
               block_n: int | None = None, block_k: int | None = None,
+              decode: bool | None = None,
               interpret: bool | None = None):
     """y = x @ dequant(W).  x: (M, K) bf16/f32; w_packed: uint8 (K, N/2)
     planar; scale: (N,) f32 per-output-column (GPTQ per-channel).
@@ -152,7 +153,7 @@ def w4_matmul(x, w_packed, scale, *, block_m: int | None = None,
     assert K == Kw
     N = Nh * 2
 
-    bm, bn, bk = _decode_blocks(M, K, Nh, block_m, block_n, block_k)
+    bm, bn, bk = _decode_blocks(M, K, Nh, block_m, block_n, block_k, decode)
     pm, pn, pk = (-M) % bm, (-Nh) % bn, (-K) % bk
     if pm or pk:
         x = jnp.pad(x, ((0, pm), (0, pk)))
@@ -184,9 +185,10 @@ def w4_matmul(x, w_packed, scale, *, block_m: int | None = None,
 
 
 @functools.partial(jax.jit, static_argnames=("block_m", "block_n", "block_k",
-                                             "interpret"))
+                                             "decode", "interpret"))
 def w4_matmul_paired(x, w_packed, scale2, *, block_m: int | None = None,
                      block_n: int | None = None, block_k: int | None = None,
+                     decode: bool | None = None,
                      interpret: bool | None = None):
     """Paired-scale W4 matmul: scale2 (2, Nh) pre-paired, output (M, 2, Nh)
     plane-paired (for fused concatenated-output callers)."""
@@ -194,7 +196,7 @@ def w4_matmul_paired(x, w_packed, scale2, *, block_m: int | None = None,
     interpret = default_interpret(interpret)
     M, K = x.shape
     Nh = w_packed.shape[1]
-    bm, bn, bk = _decode_blocks(M, K, Nh, block_m, block_n, block_k)
+    bm, bn, bk = _decode_blocks(M, K, Nh, block_m, block_n, block_k, decode)
     pm, pn, pk = (-M) % bm, (-Nh) % bn, (-K) % bk
     if pm or pk:
         x = jnp.pad(x, ((0, pm), (0, pk)))
@@ -261,10 +263,11 @@ def _w4_affine_kernel(x_ref, xsum_ref, wp_ref, sh_ref, out_ref, acc_ref, *,
 
 
 @functools.partial(jax.jit, static_argnames=("zero", "block_m", "block_n",
-                                             "block_k", "interpret"))
+                                             "block_k", "decode",
+                                             "interpret"))
 def w4_affine_matmul(x, w_packed, scale, *, zero: float = 0.5,
                      block_m: int | None = None, block_n: int | None = None,
-                     block_k: int | None = None,
+                     block_k: int | None = None, decode: bool | None = None,
                      interpret: bool | None = None):
     """y = x @ ((unpack(W) + zero) * scale).  x: (M, K); w_packed: uint8
     (K, N/2) planar; scale: scalar (per-tensor).  The constant offset folds
@@ -276,7 +279,7 @@ def w4_affine_matmul(x, w_packed, scale, *, zero: float = 0.5,
     assert K == Kw
     xsum = jnp.sum(x.astype(jnp.float32), axis=1, keepdims=True)  # (M, 1)
 
-    bm, bn, bk = _decode_blocks(M, K, Nh, block_m, block_n, block_k)
+    bm, bn, bk = _decode_blocks(M, K, Nh, block_m, block_n, block_k, decode)
     pm, pn, pk = (-M) % bm, (-Nh) % bn, (-K) % bk
     if pm or pk:
         x = jnp.pad(x, ((0, pm), (0, pk)))
@@ -388,30 +391,37 @@ def _w4a4_kernel(x_ref, xs_ref, wp_ref, scale_ref, out_ref, acc_ref, *,
         out_ref[...] = deq.astype(out_ref.dtype)
 
 
-def _decode_blocks(M, K, Nh, block_m, block_n, block_k):
+def _decode_blocks(M, K, Nh, block_m, block_n, block_k, decode=None):
     """Block-shape defaults (None = auto).  Decode shapes (small M) want
     FEW, BIG grid steps: the measured per-grid-step overhead (~0.6 us) caps
     streaming at ~200 GB/s with 128 KB weight tiles, so widen tiles to
     multi-MB until the DMA dominates (block_sweep.py numbers on v5e).
-    Prefill shapes (large M) keep MXU-balanced tiles."""
+    Prefill shapes (large M) keep MXU-balanced tiles.
+
+    `decode` is the caller's explicit hint (serving paths know which phase
+    they are in); None falls back to the M<=32 shape heuristic (ADVICE r2
+    #4: short-prompt prefill should not silently get decode tiles)."""
+    if decode is None:
+        decode = M <= 32
     # decode defaults from the v5e sweep: (bn=2048, bk=1024) is the fastest
     # shape that compiles (4 MB double-buffered weight tiles overflow VMEM)
     if block_n is None:
-        block_n = 2048 if M <= 32 else 256
+        block_n = 2048 if decode else 256
     if block_k is None:
-        block_k = 1024 if M <= 32 else 512
+        block_k = 1024 if decode else 512
     return (min(block_m or 128, _round_up(M, 16)), min(block_n, Nh),
             min(block_k, K))
 
 
 @functools.partial(jax.jit, static_argnames=("block_m", "block_n", "block_k",
-                                             "clip_ratio", "interpret",
-                                             "mxu_int8"))
+                                             "clip_ratio", "decode",
+                                             "interpret", "mxu_int8"))
 def w4a4_matmul_paired(x, w_packed, scale2, token_scale=None, *,
                        clip_ratio: float = 1.0,
                        block_m: int | None = None,
                        block_n: int | None = None,
                        block_k: int | None = None,
+                       decode: bool | None = None,
                        mxu_int8: bool | None = None,
                        interpret: bool | None = None):
     """Paired-scale core of the W4A4 matmul: takes plane-paired scales
@@ -431,7 +441,7 @@ def w4a4_matmul_paired(x, w_packed, scale2, token_scale=None, *,
     else:
         xs = token_scale.astype(jnp.float32).reshape(M, 1)
 
-    bm, bn, bk = _decode_blocks(M, K, Nh, block_m, block_n, block_k)
+    bm, bn, bk = _decode_blocks(M, K, Nh, block_m, block_n, block_k, decode)
     pm, pn, pk = (-M) % bm, (-Nh) % bn, (-K) % bk
     if pm or pk:
         x = jnp.pad(x, ((0, pm), (0, pk)))
@@ -445,7 +455,8 @@ def w4a4_matmul_paired(x, w_packed, scale2, token_scale=None, *,
     nk = Kp // bk
 
     if mxu_int8 is None:
-        mxu_int8 = M <= 32  # decode shapes: MXU weight-load bound -> int8
+        # decode shapes: MXU weight-load bound -> int8
+        mxu_int8 = (M <= 32) if decode is None else decode
     kern = _w4a4_kernel_i8 if mxu_int8 else _w4a4_kernel
     acc_dtype = jnp.int32 if mxu_int8 else jnp.float32
 
@@ -712,12 +723,13 @@ def w4_affine_matmul_stacked(x, wp_all, sh_all, layer, *, zero: float = 0.5,
 
 
 @functools.partial(jax.jit, static_argnames=("block_m", "block_n", "block_k",
-                                             "clip_ratio", "interpret",
-                                             "mxu_int8"))
+                                             "clip_ratio", "decode",
+                                             "interpret", "mxu_int8"))
 def w4a4_matmul(x, w_packed, scale, token_scale=None, *,
                 clip_ratio: float = 1.0,
                 block_m: int | None = None, block_n: int | None = None,
-                block_k: int | None = None, mxu_int8: bool | None = None,
+                block_k: int | None = None, decode: bool | None = None,
+                mxu_int8: bool | None = None,
                 interpret: bool | None = None):
     """Per-token int4 activation quant + int4 weight matmul + dequant.
 
@@ -728,7 +740,7 @@ def w4a4_matmul(x, w_packed, scale, token_scale=None, *,
     """
     out3 = w4a4_matmul_paired(
         x, w_packed, pair_scales(scale), token_scale, clip_ratio=clip_ratio,
-        block_m=block_m, block_n=block_n, block_k=block_k,
+        block_m=block_m, block_n=block_n, block_k=block_k, decode=decode,
         mxu_int8=mxu_int8, interpret=interpret)
     return unpair_outputs(out3)
 

@@ -206,9 +206,9 @@ def _local_decode_layer(lp, x, cache, layer, cos, sin, pos, cfg: ModelConfig,
     nkv_l = cfg.num_key_value_heads // tp
 
     h = M.rms_norm(x, lp.get("input_norm"), cfg.rms_norm_eps)
-    q = serving_linear(h, lp["q"], sc).reshape(b, 1, nq_l, hd)
-    k = serving_linear(h, lp["k"], sc).reshape(b, 1, nkv_l, hd)
-    v = serving_linear(h, lp["v"], sc).reshape(b, 1, nkv_l, hd)
+    q = serving_linear(h, lp["q"], sc, decode=True).reshape(b, 1, nq_l, hd)
+    k = serving_linear(h, lp["k"], sc, decode=True).reshape(b, 1, nkv_l, hd)
+    v = serving_linear(h, lp["v"], sc, decode=True).reshape(b, 1, nkv_l, hd)
     q = M.apply_rope(q, cos, sin)
     k = M.apply_rope(k, cos, sin)
     cache = _append_decode(cache, layer, k, v, pos, sc)
@@ -238,17 +238,17 @@ def _local_decode_layer(lp, x, cache, layer, cos, sin, pos, cfg: ModelConfig,
 
     if sc.online_had:
         attn = _mix_heads(attn, hd, cfg)
-    o = serving_linear(attn, lp["o"], sc, tp_axis="tp")
+    o = serving_linear(attn, lp["o"], sc, tp_axis="tp", decode=True)
     o = jax.lax.psum(o, "tp").astype(x.dtype)
     x = x + o
 
     h2 = M.rms_norm(x, lp.get("post_norm"), cfg.rms_norm_eps)
-    up = serving_linear(h2, lp["up"], sc)
-    gate = serving_linear(h2, lp["gate"], sc)
+    up = serving_linear(h2, lp["up"], sc, decode=True)
+    gate = serving_linear(h2, lp["gate"], sc, decode=True)
     act = jax.nn.silu(gate.astype(jnp.float32)).astype(h2.dtype) * up
     if sc.online_had:
         act = _mix_intermediate(act, cfg)
-    down = serving_linear(act, lp["down"], sc, tp_axis="tp")
+    down = serving_linear(act, lp["down"], sc, tp_axis="tp", decode=True)
     down = jax.lax.psum(down, "tp").astype(x.dtype)
     return x + down, cache
 
@@ -263,9 +263,9 @@ def _local_prefill_layer(lp, x, cache, layer, cos, sin, mask,
     nkv_l = cfg.num_key_value_heads // tp
 
     h = M.rms_norm(x, lp.get("input_norm"), cfg.rms_norm_eps)
-    q = serving_linear(h, lp["q"], sc).reshape(b, s, nq_l, hd)
-    k = serving_linear(h, lp["k"], sc).reshape(b, s, nkv_l, hd)
-    v = serving_linear(h, lp["v"], sc).reshape(b, s, nkv_l, hd)
+    q = serving_linear(h, lp["q"], sc, decode=False).reshape(b, s, nq_l, hd)
+    k = serving_linear(h, lp["k"], sc, decode=False).reshape(b, s, nkv_l, hd)
+    v = serving_linear(h, lp["v"], sc, decode=False).reshape(b, s, nkv_l, hd)
     q = M.apply_rope(q, cos, sin)
     k = M.apply_rope(k, cos, sin)
     cache = _write_prefill(cache, layer, k, v, sc)
@@ -274,16 +274,18 @@ def _local_prefill_layer(lp, x, cache, layer, cos, sin, mask,
     attn = attn.reshape(b, s, nq_l * hd)
     if sc.online_had:
         attn = _mix_heads(attn, hd, cfg)
-    x = x + jax.lax.psum(serving_linear(attn, lp["o"], sc, tp_axis="tp"),
-                         "tp").astype(x.dtype)
+    x = x + jax.lax.psum(
+        serving_linear(attn, lp["o"], sc, tp_axis="tp", decode=False),
+        "tp").astype(x.dtype)
     h2 = M.rms_norm(x, lp.get("post_norm"), cfg.rms_norm_eps)
-    up = serving_linear(h2, lp["up"], sc)
-    gate = serving_linear(h2, lp["gate"], sc)
+    up = serving_linear(h2, lp["up"], sc, decode=False)
+    gate = serving_linear(h2, lp["gate"], sc, decode=False)
     act = jax.nn.silu(gate.astype(jnp.float32)).astype(h2.dtype) * up
     if sc.online_had:
         act = _mix_intermediate(act, cfg)
-    return x + jax.lax.psum(serving_linear(act, lp["down"], sc, tp_axis="tp"),
-                            "tp").astype(x.dtype), cache
+    return x + jax.lax.psum(
+        serving_linear(act, lp["down"], sc, tp_axis="tp", decode=False),
+        "tp").astype(x.dtype), cache
 
 
 # ---------------------------------------------------------------------------

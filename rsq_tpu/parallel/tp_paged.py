@@ -62,20 +62,20 @@ def shard_pool(pool, mesh: Mesh):
 # shard_map-local steps
 # ---------------------------------------------------------------------------
 
-def _tp_attn_out(lp, attn, hd, cfg, sc):
+def _tp_attn_out(lp, attn, hd, cfg, sc, decode=None):
     if sc.online_had:
         attn = _mix_heads(attn, hd, cfg)
-    o = serving_linear(attn, lp["o"], sc, tp_axis="tp")
+    o = serving_linear(attn, lp["o"], sc, tp_axis="tp", decode=decode)
     return jax.lax.psum(o, "tp")
 
 
-def _tp_mlp(lp, h2, cfg, sc):
-    up = serving_linear(h2, lp["up"], sc)
-    gate = serving_linear(h2, lp["gate"], sc)
+def _tp_mlp(lp, h2, cfg, sc, decode=None):
+    up = serving_linear(h2, lp["up"], sc, decode=decode)
+    gate = serving_linear(h2, lp["gate"], sc, decode=decode)
     act = jax.nn.silu(gate.astype(jnp.float32)).astype(h2.dtype) * up
     if sc.online_had:
         act = _mix_intermediate(act, cfg)
-    down = serving_linear(act, lp["down"], sc, tp_axis="tp")
+    down = serving_linear(act, lp["down"], sc, tp_axis="tp", decode=decode)
     return jax.lax.psum(down, "tp")
 
 
@@ -96,9 +96,9 @@ def _local_decode_paged(params, pool, page_tables, lengths, token_ids,
 
     for i, lp in enumerate(params["layers"]):
         h = M.rms_norm(x, lp.get("input_norm"), cfg.rms_norm_eps)
-        q = serving_linear(h, lp["q"], sc).reshape(B, 1, nq_l, hd)
-        k = serving_linear(h, lp["k"], sc).reshape(B, 1, nkv_l, hd)
-        v = serving_linear(h, lp["v"], sc).reshape(B, 1, nkv_l, hd)
+        q = serving_linear(h, lp["q"], sc, decode=True).reshape(B, 1, nq_l, hd)
+        k = serving_linear(h, lp["k"], sc, decode=True).reshape(B, 1, nkv_l, hd)
+        v = serving_linear(h, lp["v"], sc, decode=True).reshape(B, 1, nkv_l, hd)
         q = M.apply_rope(q, cos, sin)
         k = M.apply_rope(k, cos, sin)
         kb = jnp.swapaxes(k, 1, 2)                   # (B, H_l, 1, D)
@@ -112,13 +112,13 @@ def _local_decode_paged(params, pool, page_tables, lengths, token_ids,
         qh = q.reshape(B, nq_l, hd)
         if sc.kv_hadamard:
             qh = hadamard_transform_last(qh)
-        attn = PKV.int4_paged_decode_attention(
-            qh, pool["kq"][i], pool["kp"][i], pool["vq"][i], pool["vp"][i],
+        attn = PKV.int4_paged_decode_attention_stacked(
+            qh, pool["kq"], pool["kp"], pool["vq"], pool["vp"], i,
             page_tables, lengths + 1)
         attn = attn.reshape(B, 1, nq_l * hd)
-        x = x + _tp_attn_out(lp, attn, hd, cfg, sc).astype(x.dtype)
+        x = x + _tp_attn_out(lp, attn, hd, cfg, sc, decode=True).astype(x.dtype)
         h2 = M.rms_norm(x, lp.get("post_norm"), cfg.rms_norm_eps)
-        x = x + _tp_mlp(lp, h2, cfg, sc).astype(x.dtype)
+        x = x + _tp_mlp(lp, h2, cfg, sc, decode=True).astype(x.dtype)
 
     x = M.rms_norm(x, params.get("final_norm"), cfg.rms_norm_eps)
     logits = (x @ params["lm_head"].astype(x.dtype))[:, 0]
@@ -155,9 +155,9 @@ def _local_prefill_paged(params, pool, page_row, null_page, input_tail,
 
     for i, lp in enumerate(params["layers"]):
         h = M.rms_norm(x, lp.get("input_norm"), cfg.rms_norm_eps)
-        q = serving_linear(h, lp["q"], sc).reshape(1, st, nq_l, hd)
-        k = serving_linear(h, lp["k"], sc).reshape(1, st, nkv_l, hd)
-        v = serving_linear(h, lp["v"], sc).reshape(1, st, nkv_l, hd)
+        q = serving_linear(h, lp["q"], sc, decode=False).reshape(1, st, nq_l, hd)
+        k = serving_linear(h, lp["k"], sc, decode=False).reshape(1, st, nkv_l, hd)
+        v = serving_linear(h, lp["v"], sc, decode=False).reshape(1, st, nkv_l, hd)
         q = M.apply_rope(q, cos, sin)
         k = M.apply_rope(k, cos, sin)
         kb = jnp.swapaxes(k, 1, 2)                   # (1, H_l, St, D)
@@ -186,9 +186,9 @@ def _local_prefill_paged(params, pool, page_row, null_page, input_tail,
             attn = M.attention(q, M.repeat_kv(k, nrep),
                                M.repeat_kv(v, nrep), mask[:, prefix_len:])
         attn = attn.reshape(1, st, nq_l * hd)
-        x = x + _tp_attn_out(lp, attn, hd, cfg, sc).astype(x.dtype)
+        x = x + _tp_attn_out(lp, attn, hd, cfg, sc, decode=False).astype(x.dtype)
         h2 = M.rms_norm(x, lp.get("post_norm"), cfg.rms_norm_eps)
-        x = x + _tp_mlp(lp, h2, cfg, sc).astype(x.dtype)
+        x = x + _tp_mlp(lp, h2, cfg, sc, decode=False).astype(x.dtype)
 
     last = prompt_len - prefix_len - 1  # static
     x = M.rms_norm(x[:, last:last + 1], params.get("final_norm"),

@@ -48,12 +48,15 @@ class ServingConfig:
 # Quantized linear dispatch
 # ---------------------------------------------------------------------------
 
-def serving_linear(x, p, sc: ServingConfig, tp_axis: str | None = None):
+def serving_linear(x, p, sc: ServingConfig, tp_axis: str | None = None,
+                   decode: bool | None = None):
     """x: (..., K). Dispatch dense / W4 / W4A4 on the param layout.
 
     tp_axis: set for row-parallel linears under shard_map — the per-token
     activation scale must be the GLOBAL absmax, so reduce it with pmax
-    before quantizing the local shard."""
+    before quantizing the local shard.
+    decode: explicit phase hint for kernel tile selection (None = infer
+    from M; serving layer functions always pass it)."""
     lead = x.shape[:-1]
     x2 = x.reshape(-1, x.shape[-1])
     if "sh" in p:
@@ -62,7 +65,7 @@ def serving_linear(x, p, sc: ServingConfig, tp_axis: str | None = None):
         # read at 4 bits/weight (quiptools_cuda role, ldlq_utils.py:10)
         from rsq_tpu.kernels.matmul_w4 import w4_affine_matmul
         xk = x2.astype(jnp.float32) if tp_axis is not None else x2
-        y = w4_affine_matmul(xk, p["wp"], p["sh"])
+        y = w4_affine_matmul(xk, p["wp"], p["sh"], decode=decode)
         if p.get("b") is not None:
             y = y + p["b"].astype(y.dtype)
         return y.reshape(*lead, y.shape[-1])
@@ -87,9 +90,9 @@ def serving_linear(x, p, sc: ServingConfig, tp_axis: str | None = None):
                 token_scale = jnp.where(absmax == 0, 1.0,
                                         absmax * sc.a_clip / 7.0)
             y = w4a4_matmul(xk, p["wp"], p["scale"], token_scale,
-                            clip_ratio=sc.a_clip)
+                            clip_ratio=sc.a_clip, decode=decode)
         else:
-            y = w4_matmul(xk, p["wp"], p["scale"])
+            y = w4_matmul(xk, p["wp"], p["scale"], decode=decode)
         # keep f32 partials when row-parallel: the caller psums THEN casts
     else:
         y = x2 @ p["w"].astype(x2.dtype)
@@ -98,7 +101,8 @@ def serving_linear(x, p, sc: ServingConfig, tp_axis: str | None = None):
     return y.reshape(*lead, y.shape[-1])
 
 
-def serving_linear_fused(x, p, sc: ServingConfig):
+def serving_linear_fused(x, p, sc: ServingConfig,
+                         decode: bool | None = None):
     """Fused concatenated packed linears (params.fuse_for_decode layout):
     ONE kernel call over the concatenated output dim, then per-segment
     unpair + bias.  Returns a list of (..., N_seg) tensors."""
@@ -108,9 +112,10 @@ def serving_linear_fused(x, p, sc: ServingConfig):
     x2 = x.reshape(-1, x.shape[-1])
     scale2 = jnp.concatenate(p["scales2"], axis=1)
     if sc.a4:
-        y3 = w4a4_matmul_paired(x2, p["wp2"], scale2, clip_ratio=sc.a_clip)
+        y3 = w4a4_matmul_paired(x2, p["wp2"], scale2, clip_ratio=sc.a_clip,
+                                decode=decode)
     else:
-        y3 = w4_matmul_paired(x2, p["wp2"], scale2)
+        y3 = w4_matmul_paired(x2, p["wp2"], scale2, decode=decode)
     outs, off = [], 0
     for s2, b in zip(p["scales2"], p["bs"]):
         nh = s2.shape[1]
@@ -194,41 +199,44 @@ def _append_decode(cache, layer, k, v, pos, sc: ServingConfig):
 # Layer forwards
 # ---------------------------------------------------------------------------
 
-def _qkv(lp, h, cfg: ModelConfig, sc: ServingConfig):
+def _qkv(lp, h, cfg: ModelConfig, sc: ServingConfig,
+         decode: bool | None = None):
     b, s, _ = h.shape
     hd, nq, nkv = cfg.head_dim_, cfg.num_attention_heads, cfg.num_key_value_heads
     if "qkv" in lp:
-        q, k, v = serving_linear_fused(h, lp["qkv"], sc)
+        q, k, v = serving_linear_fused(h, lp["qkv"], sc, decode=decode)
     else:
-        q = serving_linear(h, lp["q"], sc)
-        k = serving_linear(h, lp["k"], sc)
-        v = serving_linear(h, lp["v"], sc)
+        q = serving_linear(h, lp["q"], sc, decode=decode)
+        k = serving_linear(h, lp["k"], sc, decode=decode)
+        v = serving_linear(h, lp["v"], sc, decode=decode)
     return (q.reshape(b, s, nq, hd), k.reshape(b, s, nkv, hd),
             v.reshape(b, s, nkv, hd))
 
 
-def _mlp(lp, h, cfg: ModelConfig, sc: ServingConfig):
+def _mlp(lp, h, cfg: ModelConfig, sc: ServingConfig,
+         decode: bool | None = None):
     if "upgate" in lp:
-        up, gate = serving_linear_fused(h, lp["upgate"], sc)
+        up, gate = serving_linear_fused(h, lp["upgate"], sc, decode=decode)
     else:
-        up = serving_linear(h, lp["up"], sc)
-        gate = serving_linear(h, lp["gate"], sc)
+        up = serving_linear(h, lp["up"], sc, decode=decode)
+        gate = serving_linear(h, lp["gate"], sc, decode=decode)
     act = jax.nn.silu(gate.astype(jnp.float32)).astype(h.dtype) * up
     if sc.online_had:
         from rsq_tpu.kernels.hadamard_mxu import hadamard_transform
         act = hadamard_transform(act)
-    return serving_linear(act, lp["down"], sc)
+    return serving_linear(act, lp["down"], sc, decode=decode)
 
 
-def _attn_out(lp, attn_flat, cfg: ModelConfig, sc: ServingConfig):
+def _attn_out(lp, attn_flat, cfg: ModelConfig, sc: ServingConfig,
+              decode: bool | None = None):
     if sc.online_had:
         attn_flat = head_mixing_hadamard(attn_flat, head_dim=cfg.head_dim_)
-    return serving_linear(attn_flat, lp["o"], sc)
+    return serving_linear(attn_flat, lp["o"], sc, decode=decode)
 
 
 def prefill_layer(lp, x, cache, layer, cos, sin, mask, cfg, sc):
     h = M.rms_norm(x, lp.get("input_norm"), cfg.rms_norm_eps)
-    q, k, v = _qkv(lp, h, cfg, sc)
+    q, k, v = _qkv(lp, h, cfg, sc, decode=False)
     q = M.apply_rope(q, cos, sin)
     k = M.apply_rope(k, cos, sin)
     cache = _write_prefill(cache, layer, k, v, sc)
@@ -236,16 +244,16 @@ def prefill_layer(lp, x, cache, layer, cos, sin, mask, cfg, sc):
     attn = M.attention(q, M.repeat_kv(k, nrep), M.repeat_kv(v, nrep), mask)
     b, s = x.shape[:2]
     attn = attn.reshape(b, s, -1)
-    x = x + _attn_out(lp, attn, cfg, sc)
+    x = x + _attn_out(lp, attn, cfg, sc, decode=False)
     h2 = M.rms_norm(x, lp.get("post_norm"), cfg.rms_norm_eps)
-    return x + _mlp(lp, h2, cfg, sc), cache
+    return x + _mlp(lp, h2, cfg, sc, decode=False), cache
 
 
 def decode_layer(lp, x, cache, layer, cos, sin, pos, cfg, sc):
     """x: (B, 1, d); pos: (B,) per-sequence current positions."""
     b = x.shape[0]
     h = M.rms_norm(x, lp.get("input_norm"), cfg.rms_norm_eps)
-    q, k, v = _qkv(lp, h, cfg, sc)
+    q, k, v = _qkv(lp, h, cfg, sc, decode=True)
     q = M.apply_rope(q, cos, sin)
     k = M.apply_rope(k, cos, sin)
     cache = _append_decode(cache, layer, k, v, pos, sc)
@@ -272,9 +280,9 @@ def decode_layer(lp, x, cache, layer, cos, sin, pos, cfg, sc):
         attn = jnp.einsum("bhs,bhsd->bhd", p, vf.astype(jnp.float32))
         attn = attn.astype(x.dtype)
     attn = attn.reshape(b, 1, -1)
-    x = x + _attn_out(lp, attn, cfg, sc)
+    x = x + _attn_out(lp, attn, cfg, sc, decode=True)
     h2 = M.rms_norm(x, lp.get("post_norm"), cfg.rms_norm_eps)
-    return x + _mlp(lp, h2, cfg, sc), cache
+    return x + _mlp(lp, h2, cfg, sc, decode=True), cache
 
 
 # ---------------------------------------------------------------------------
@@ -347,7 +355,7 @@ def _decode_cache_slice(lp, x, cslice, length, cos, sin, pos, cfg, sc):
     pos: (B,) per-sequence write positions."""
     b = x.shape[0]
     h = M.rms_norm(x, lp.get("input_norm"), cfg.rms_norm_eps)
-    q, k, v = _qkv(lp, h, cfg, sc)
+    q, k, v = _qkv(lp, h, cfg, sc, decode=True)
     q = M.apply_rope(q, cos, sin)
     k = M.apply_rope(k, cos, sin)
 
@@ -392,14 +400,14 @@ def _decode_cache_slice(lp, x, cslice, length, cos, sin, pos, cfg, sc):
         attn = jnp.einsum("bhs,bhsd->bhd", p, vf.astype(jnp.float32))
         attn = attn.astype(x.dtype)
     attn = attn.reshape(b, 1, -1)
-    x = x + _attn_out(lp, attn, cfg, sc)
+    x = x + _attn_out(lp, attn, cfg, sc, decode=True)
     h2 = M.rms_norm(x, lp.get("post_norm"), cfg.rms_norm_eps)
-    return x + _mlp(lp, h2, cfg, sc), cslice
+    return x + _mlp(lp, h2, cfg, sc, decode=True), cslice
 
 
 def _prefill_cache_slice(lp, x, cslice, cos, sin, mask, cfg, sc):
     h = M.rms_norm(x, lp.get("input_norm"), cfg.rms_norm_eps)
-    q, k, v = _qkv(lp, h, cfg, sc)
+    q, k, v = _qkv(lp, h, cfg, sc, decode=False)
     q = M.apply_rope(q, cos, sin)
     k = M.apply_rope(k, cos, sin)
     kbhsd = jnp.swapaxes(k, 1, 2)
@@ -421,9 +429,9 @@ def _prefill_cache_slice(lp, x, cslice, cos, sin, mask, cfg, sc):
     attn = M.attention(q, M.repeat_kv(k, nrep), M.repeat_kv(v, nrep), mask)
     b, s = x.shape[:2]
     attn = attn.reshape(b, s, -1)
-    x = x + _attn_out(lp, attn, cfg, sc)
+    x = x + _attn_out(lp, attn, cfg, sc, decode=False)
     h2 = M.rms_norm(x, lp.get("post_norm"), cfg.rms_norm_eps)
-    return x + _mlp(lp, h2, cfg, sc), cslice
+    return x + _mlp(lp, h2, cfg, sc, decode=False), cslice
 
 
 @partial(jax.jit, static_argnames=("sc",))
@@ -596,10 +604,13 @@ def _decode_step_fast(params, cache, token_ids, sc: ServingConfig):
         for name, val in (("kq", kq_), ("kp", kp_), ("vq", vq_),
                           ("vp", vp_)):
             arr = cache[name]
+            li = jnp.asarray(i, jnp.int32)
+            z = jnp.int32(0)
             for bb in range(b):
                 upd = val[bb, :, :, 0:1].astype(arr.dtype)[None, None]
                 arr = jax.lax.dynamic_update_slice(
-                    arr, upd, (i, bb, 0, 0, pos[bb]))
+                    arr, upd, (li, jnp.int32(bb), z, z,
+                               pos[bb].astype(jnp.int32)))
             cache[name] = arr
         attn = attn.reshape(b, 1, nq * hd)
         if sc.online_had:

@@ -120,3 +120,53 @@ def test_e8p_affine_reencode_bit_identical():
                                                           np.float32(0.5))
     want = np.asarray(e8p_dequantize(jnp.asarray(codes), scale))
     np.testing.assert_array_equal(implied, want)
+
+
+# ---------------------------------------------------------------------------
+# Stacked (scalar-prefetch) copy-free kernels — round-3 additions
+# ---------------------------------------------------------------------------
+
+def test_w4_matmul_paired_stacked_matches_per_layer():
+    rng = np.random.default_rng(21)
+    L, M, K, N = 3, 8, 128, 256
+    wq = rng.integers(-8, 8, size=(L, K, N)).astype(np.int8)
+    packed = jnp.stack([MW.pack_w4_planar(jnp.asarray(wq[i]))
+                        for i in range(L)])
+    scale = jnp.asarray(rng.uniform(0.01, 0.1, (L, N)).astype(np.float32))
+    x = jnp.asarray(rng.standard_normal((M, K)).astype(np.float32))
+    for i in range(L):
+        y3 = MW.w4_matmul_paired_stacked(x, packed,
+                                         MW.pair_scales(scale[i]), i)
+        y = MW.unpair_outputs(y3)
+        want = MW.w4_matmul_reference(x, packed[i], scale[i])
+        np.testing.assert_allclose(np.asarray(y), np.asarray(want),
+                                   rtol=2e-2, atol=2e-2)
+
+
+def test_w4_affine_matmul_stacked_matches_per_layer():
+    rng = np.random.default_rng(22)
+    L, M, K, N = 3, 4, 64, 128
+    wq = rng.integers(-8, 8, size=(L, K, N)).astype(np.int8)
+    packed = jnp.stack([MW.pack_w4_planar(jnp.asarray(wq[i]))
+                        for i in range(L)])
+    sh = jnp.asarray(rng.uniform(0.01, 0.1, (L,)).astype(np.float32))
+    x = jnp.asarray(rng.standard_normal((M, K)).astype(np.float32))
+    for i in range(L):
+        y = MW.w4_affine_matmul_stacked(x, packed, sh, i)
+        want = MW.w4_affine_matmul_reference(x, packed[i], sh[i])
+        np.testing.assert_allclose(np.asarray(y), np.asarray(want),
+                                   rtol=2e-2, atol=2e-2)
+
+
+def test_decode_hint_selects_same_math():
+    """decode=True/False must change tiles only, never results."""
+    rng = np.random.default_rng(23)
+    M, K, N = 8, 128, 256
+    wq = jnp.asarray(rng.integers(-8, 8, size=(K, N)).astype(np.int8))
+    packed = MW.pack_w4_planar(wq)
+    scale = jnp.asarray(rng.uniform(0.01, 0.1, (N,)).astype(np.float32))
+    x = jnp.asarray(rng.standard_normal((M, K)).astype(np.float32))
+    y_d = MW.w4_matmul(x, packed, scale, decode=True)
+    y_p = MW.w4_matmul(x, packed, scale, decode=False)
+    np.testing.assert_allclose(np.asarray(y_d), np.asarray(y_p),
+                               rtol=2e-2, atol=2e-2)

@@ -89,3 +89,34 @@ def test_decode_vs_fp_attention_quality():
     want = np.einsum("bhgs,bhsd->bhgd", p, v).reshape(B, Hq, D)
     np.testing.assert_allclose(got, want, rtol=0.15, atol=0.15)
     assert np.abs(got - want).mean() < 0.05
+
+
+def test_pick_chunk_divides_and_prefers_lane_alignment():
+    from rsq_tpu.kernels.kv_cache import pick_chunk
+    for S in (512, 640, 1000, 1024, 4352, 4096, 384, 131):
+        ch = pick_chunk(S, 512)
+        assert S % ch == 0 and ch <= max(512, S)
+    assert pick_chunk(640, 512) == 128      # largest 128-aligned divisor
+    assert pick_chunk(1024, 512) == 512
+    assert pick_chunk(1000, 512) == 500     # no aligned divisor -> any
+    assert pick_chunk(131, 512) == 131      # prime -> whole sequence
+
+
+def test_stacked_decode_odd_max_seq():
+    """ADVICE r2 #1: stacked attention must accept S not divisible by 512."""
+    import jax
+    rng = np.random.default_rng(9)
+    L, B, Hkv, G, D, S = 2, 2, 2, 2, 64, 640
+    Hq = Hkv * G
+    kq = jnp.asarray(rng.integers(0, 256, (L, B, Hkv, D // 2, S)), jnp.uint8)
+    vq = jnp.asarray(rng.integers(0, 256, (L, B, Hkv, D // 2, S)), jnp.uint8)
+    kp = jnp.asarray(rng.uniform(0.01, 0.1, (L, B, Hkv, 2, S)), jnp.float32)
+    vp = jnp.asarray(rng.uniform(0.01, 0.1, (L, B, Hkv, 2, S)), jnp.float32)
+    lengths = jnp.asarray([600, 637], jnp.int32)
+    q = jnp.asarray(rng.standard_normal((B, Hq, D)), jnp.float32)
+    out, m, l = KV.int4_decode_attention_stacked(
+        q, kq, kp, vq, vp, 1, lengths)
+    ref = KV.int4_decode_attention_reference(
+        q, kq[1], kp[1], vq[1], vp[1], lengths)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-3, atol=2e-3)

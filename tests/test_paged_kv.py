@@ -131,3 +131,24 @@ def test_shared_prefix_page_gives_identical_attention():
     out = PKV.int4_paged_decode_attention(q, kq, kp, vq, vp, ptab, lengths)
     np.testing.assert_allclose(np.asarray(out[0]), np.asarray(out[1]),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_paged_stacked_matches_unstacked():
+    """int4_paged_decode_attention_stacked(layer=i) == slicing the pool."""
+    rng = np.random.default_rng(7)
+    L, Hkv, D, page, P, B = 3, 2, 64, 128, 5, 2
+    pools = [_random_pool(rng, P, Hkv, D, page) for _ in range(L)]
+    kq = jnp.stack([p[0] for p in pools])
+    kp = jnp.stack([p[1] for p in pools])
+    vq = jnp.stack([p[2] for p in pools])
+    vp = jnp.stack([p[3] for p in pools])
+    ptab = jnp.asarray([[0, 2], [3, 1]], dtype=jnp.int32)
+    lengths = jnp.asarray([page + 7, 2 * page], jnp.int32)
+    q = jnp.asarray(rng.standard_normal((B, Hkv, D)).astype(np.float32))
+    for i in range(L):
+        out = PKV.int4_paged_decode_attention_stacked(
+            q, kq, kp, vq, vp, i, ptab, lengths)
+        want = PKV.int4_paged_decode_attention(
+            q, kq[i], kp[i], vq[i], vp[i], ptab, lengths)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)

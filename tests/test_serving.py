@@ -198,3 +198,30 @@ def test_fused_stacked_decode(quantized_tiny):
     b = np.asarray(got, np.float32).ravel()
     assert np.corrcoef(a, b)[0, 1] > 0.98
     assert np.max(np.abs(a - b)) < 0.5
+
+
+def test_fuse_for_decode_skips_e8p_layers():
+    """ADVICE r2 #2: E8P affine entries ("wp" + "sh", no "scale") must not
+    be fused — fusing would KeyError or silently drop the +0.5 offset."""
+    from rsq_tpu.quantize.ldlq import ldlq_quantize
+    from rsq_tpu.serving.params import fuse_for_decode, pack_linear_e8p
+
+    rng = np.random.default_rng(13)
+    W = jnp.asarray((rng.standard_normal((16, 32)) * 0.1).astype(np.float32))
+    A = rng.standard_normal((64, 16)).astype(np.float32)
+    H = jnp.asarray((2.0 / 64) * A.T @ A + 0.05 * np.eye(16, dtype=np.float32))
+    _, info = ldlq_quantize(W.T, H, quip_tune_iters=0)
+    e8p_lin = pack_linear_e8p({"w": W, "b": None},
+                              {"codes": info["codes"],
+                               "scale": info["scale"]})
+    params = {"embed": jnp.zeros((8, 16)), "final_norm": None,
+              "lm_head": jnp.zeros((16, 8)),
+              "layers": [{"input_norm": None, "post_norm": None,
+                          "q": dict(e8p_lin), "k": dict(e8p_lin),
+                          "v": dict(e8p_lin), "o": dict(e8p_lin),
+                          "up": dict(e8p_lin), "gate": dict(e8p_lin),
+                          "down": dict(e8p_lin)}]}
+    fused = fuse_for_decode(params)          # must not raise
+    lp = fused["layers"][0]
+    assert "qkv" not in lp and "upgate" not in lp
+    assert "sh" in lp["q"]
