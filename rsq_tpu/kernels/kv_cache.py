@@ -228,24 +228,88 @@ def int4_decode_attention(q, kq, kp, vq, vp, lengths, *, sm_scale=None,
 
 def _decode_kernel_pref(idx_ref, len_ref, q_ref, kq_ref, kp_ref, vq_ref,
                         vp_ref, out_ref, m_out_ref, l_out_ref, m_ref, l_ref,
-                        acc_ref, *, chunk, nchunks):
+                        acc_ref, *, chunk, nchunks, heads):
     """Scalar-prefetch twin of _decode_kernel: cache blocks come from the
     FULL stacked (L, B, H, ...) arrays, selected by the prefetched layer
     index (slicing the cache per layer would copy ~9 MB/layer/step).
+
+    Processes ALL kv heads of one (batch, chunk) cell per grid step — a
+    per-(B, H, chunk) grid spends ~0.65 us of grid overhead per 0.09 us of
+    DMA (measured 108 GB/s, trace_decode r3); widening the block to the
+    whole head axis makes each step stream ~0.6 MB.
 
     Also emits the online-softmax state (m, l) so the caller can merge the
     CURRENT token's self-attention term analytically — the kernel then only
     ever READS the cache, letting XLA apply the subsequent append scatter
     in place (a scatter racing a custom-call consumer forces a full cache
     copy per layer: ~300 MB, measured as 76 ms of a 90 ms decode step)."""
-    _decode_kernel(len_ref, q_ref, kq_ref.at[0], kp_ref.at[0], vq_ref.at[0],
-                   vp_ref.at[0], out_ref, m_ref, l_ref, acc_ref,
-                   chunk=chunk, nchunks=nchunks)
+    s = pl.program_id(1)
 
-    @pl.when(pl.program_id(2) == nchunks - 1)
+    @pl.when(s == 0)
     def _():
-        m_out_ref[0, 0] = m_ref[...]
-        l_out_ref[0, 0] = l_ref[...]
+        m_ref[...] = jnp.full_like(m_ref, -jnp.inf)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    length = len_ref[pl.program_id(0)]
+    base = s * chunk
+
+    @pl.when(base < length)
+    def _():
+        for h in range(heads):
+            q = q_ref[0, h].astype(jnp.float32)           # (Gp, D)
+            dh = q.shape[-1] // 2
+            q_lo = q[:, :dh].astype(jnp.bfloat16)
+            q_hi = q[:, dh:].astype(jnp.bfloat16)
+            qsum = jnp.sum(q, axis=1, keepdims=True)      # (Gp, 1)
+
+            ku = kq_ref[0, 0, h].astype(jnp.int32)        # (D/2, chunk)
+            k_lo = (ku & 0x0F).astype(jnp.bfloat16)
+            k_hi = ((ku >> 4) & 0x0F).astype(jnp.bfloat16)
+            ks = kp_ref[0, 0, h, 0, :].astype(jnp.float32)   # (chunk,)
+            kz = kp_ref[0, 0, h, 1, :].astype(jnp.float32)
+
+            raw = (jnp.dot(q_lo, k_lo, preferred_element_type=jnp.float32)
+                   + jnp.dot(q_hi, k_hi, preferred_element_type=jnp.float32))
+            logits = raw * ks[None, :] - qsum * kz[None, :]
+
+            pos = base + jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+            logits = jnp.where(pos < length, logits, MASK_VALUE)
+
+            m_prev = m_ref[h][:, 0:1]                     # (Gp, 1)
+            m_cur = jnp.max(logits, axis=1, keepdims=True)
+            m_new = jnp.maximum(m_prev, m_cur)
+            alpha = jnp.exp(m_prev - m_new)
+            p = jnp.exp(logits - m_new)                   # (Gp, chunk) f32
+            l_new = (alpha * l_ref[h][:, 0:1]
+                     + jnp.sum(p, axis=1, keepdims=True))
+
+            vu = vq_ref[0, 0, h].astype(jnp.int32)        # (D/2, chunk)
+            v_lo = (vu & 0x0F).astype(jnp.bfloat16)
+            v_hi = ((vu >> 4) & 0x0F).astype(jnp.bfloat16)
+            vs = vp_ref[0, 0, h, 0, :].astype(jnp.float32)
+            vz = vp_ref[0, 0, h, 1, :].astype(jnp.float32)
+
+            ps = (p * vs[None, :]).astype(jnp.bfloat16)
+            pz = jnp.sum(p * vz[None, :], axis=1, keepdims=True)
+            t_lo = jax.lax.dot_general(
+                ps, v_lo, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)       # (Gp, D/2)
+            t_hi = jax.lax.dot_general(
+                ps, v_hi, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+            acc_ref[h, :, :dh] = acc_ref[h, :, :dh] * alpha + t_lo - pz
+            acc_ref[h, :, dh:] = acc_ref[h, :, dh:] * alpha + t_hi - pz
+            m_ref[h] = jnp.broadcast_to(m_new, m_ref.shape[1:])
+            l_ref[h] = jnp.broadcast_to(l_new, l_ref.shape[1:])
+
+    @pl.when(s == nchunks - 1)
+    def _():
+        out_ref[0] = (acc_ref[...] /
+                      l_ref[...][:, :, 0:1]).astype(out_ref.dtype)
+        m_out_ref[0] = m_ref[...]
+        l_out_ref[0] = l_ref[...]
 
 
 @functools.partial(jax.jit, static_argnames=("sm_scale", "chunk", "interpret"))
@@ -275,35 +339,36 @@ def int4_decode_attention_stacked(q, kq_all, kp_all, vq_all, vp_all, layer,
     ch = pick_chunk(S, chunk)
     nchunks = S // ch
 
-    grid = (B, Hkv, nchunks)
+    grid = (B, nchunks)
     out, m, l = pl.pallas_call(
-        functools.partial(_decode_kernel_pref, chunk=ch, nchunks=nchunks),
+        functools.partial(_decode_kernel_pref, chunk=ch, nchunks=nchunks,
+                          heads=Hkv),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, 1, Gp, D), lambda b, h, s, idx: (b, h, 0, 0)),
-                pl.BlockSpec((1, 1, 1, D // 2, ch),
-                             lambda b, h, s, idx: (idx[0], b, h, 0, s)),
-                pl.BlockSpec((1, 1, 1, 2, ch),
-                             lambda b, h, s, idx: (idx[0], b, h, 0, s)),
-                pl.BlockSpec((1, 1, 1, D // 2, ch),
-                             lambda b, h, s, idx: (idx[0], b, h, 0, s)),
-                pl.BlockSpec((1, 1, 1, 2, ch),
-                             lambda b, h, s, idx: (idx[0], b, h, 0, s)),
+                pl.BlockSpec((1, Hkv, Gp, D), lambda b, s, idx: (b, 0, 0, 0)),
+                pl.BlockSpec((1, 1, Hkv, D // 2, ch),
+                             lambda b, s, idx: (idx[0], b, 0, 0, s)),
+                pl.BlockSpec((1, 1, Hkv, 2, ch),
+                             lambda b, s, idx: (idx[0], b, 0, 0, s)),
+                pl.BlockSpec((1, 1, Hkv, D // 2, ch),
+                             lambda b, s, idx: (idx[0], b, 0, 0, s)),
+                pl.BlockSpec((1, 1, Hkv, 2, ch),
+                             lambda b, s, idx: (idx[0], b, 0, 0, s)),
             ],
             out_specs=[
-                pl.BlockSpec((1, 1, Gp, D), lambda b, h, s, idx: (b, h, 0, 0)),
-                pl.BlockSpec((1, 1, Gp, 128),
-                             lambda b, h, s, idx: (b, h, 0, 0)),
-                pl.BlockSpec((1, 1, Gp, 128),
-                             lambda b, h, s, idx: (b, h, 0, 0)),
+                pl.BlockSpec((1, Hkv, Gp, D), lambda b, s, idx: (b, 0, 0, 0)),
+                pl.BlockSpec((1, Hkv, Gp, 128),
+                             lambda b, s, idx: (b, 0, 0, 0)),
+                pl.BlockSpec((1, Hkv, Gp, 128),
+                             lambda b, s, idx: (b, 0, 0, 0)),
             ],
             scratch_shapes=[
-                pltpu.VMEM((Gp, 128), jnp.float32),
-                pltpu.VMEM((Gp, 128), jnp.float32),
-                pltpu.VMEM((Gp, D), jnp.float32),
+                pltpu.VMEM((Hkv, Gp, 128), jnp.float32),
+                pltpu.VMEM((Hkv, Gp, 128), jnp.float32),
+                pltpu.VMEM((Hkv, Gp, D), jnp.float32),
             ],
         ),
         out_shape=[

@@ -105,12 +105,13 @@ def _unpack_block_bf16(wp):
 
     Nibble extraction runs in int32: Mosaic has no int8 vector shift
     (arith.shrui on i8 fails to legalize), and i32 is the native VPU lane
-    width anyway."""
+    width anyway.  Sign extension is (w << s) >> (arithmetic) — 2 VPU ops
+    per plane instead of mask+compare+select (the unpack is the kernel's
+    bottleneck at decode: shift unpack measured 618 GB/s vs 424 GB/s for
+    mask+where, benchmarks/stacked_sweep.py on v5e)."""
     w = wp.astype(jnp.int32)
-    lo = w & 0x0F
-    hi = (w >> 4) & 0x0F
-    lo = jnp.where(lo >= 8, lo - 16, lo).astype(jnp.bfloat16)
-    hi = jnp.where(hi >= 8, hi - 16, hi).astype(jnp.bfloat16)
+    lo = ((w << 28) >> 28).astype(jnp.bfloat16)
+    hi = ((w << 24) >> 28).astype(jnp.bfloat16)
     return lo, hi
 
 
@@ -331,13 +332,11 @@ def w4_affine_matmul_reference(x, w_packed, scale, zero: float = 0.5):
 # ---------------------------------------------------------------------------
 
 def _unpack_block_i8(wp):
-    """uint8 (BK, BN) -> two int8 (BK, BN) nibble planes (via i32 ops; see
-    _unpack_block_bf16 for why)."""
+    """uint8 (BK, BN) -> two int8 (BK, BN) nibble planes (via i32 shifts;
+    see _unpack_block_bf16 for why)."""
     w = wp.astype(jnp.int32)
-    lo = w & 0x0F
-    hi = (w >> 4) & 0x0F
-    lo = jnp.where(lo >= 8, lo - 16, lo).astype(jnp.int8)
-    hi = jnp.where(hi >= 8, hi - 16, hi).astype(jnp.int8)
+    lo = ((w << 28) >> 28).astype(jnp.int8)
+    hi = ((w << 24) >> 28).astype(jnp.int8)
     return lo, hi
 
 
@@ -353,14 +352,11 @@ def _w4a4_kernel_i8(x_ref, xs_ref, wp_ref, scale_ref, out_ref, acc_ref, *,
     xq = jnp.clip(jnp.round(x_ref[...].astype(jnp.float32) * inv), -8, 7)
     xq = xq.astype(jnp.int8)
     lo, hi = _unpack_block_i8(wp_ref[...])
-    # ONE dot over the plane-concatenated weights: at decode M the MXU is
-    # tile-latency bound, so halving the number of dot ops (and their
-    # pipeline bubbles) beats two narrower dots
-    w2 = jnp.concatenate([lo, hi], axis=1)       # (bk, 2*bn)
-    y = jnp.dot(xq, w2, preferred_element_type=jnp.int32)
-    bn = lo.shape[1]
-    acc_ref[:, 0, :] += y[:, :bn]
-    acc_ref[:, 1, :] += y[:, bn:]
+    # two dots, NO concat: with the cheap shift unpack the kernel is still
+    # VPU-bound, and the (bk, 2bn) concat copy costs more than the second
+    # dot's pipeline bubble (618 vs 547 GB/s, stacked_sweep.py)
+    acc_ref[:, 0, :] += jnp.dot(xq, lo, preferred_element_type=jnp.int32)
+    acc_ref[:, 1, :] += jnp.dot(xq, hi, preferred_element_type=jnp.int32)
 
     @pl.when(k == nsteps_k - 1)
     def _():
@@ -493,11 +489,8 @@ def _w4a4_kernel_i8_pref(idx_ref, x_ref, xs_ref, wp_ref, scale_ref, out_ref,
     xq = jnp.clip(jnp.round(x_ref[...].astype(jnp.float32) * inv), -8, 7)
     xq = xq.astype(jnp.int8)
     lo, hi = _unpack_block_i8(wp_ref[0])
-    w2 = jnp.concatenate([lo, hi], axis=1)
-    y = jnp.dot(xq, w2, preferred_element_type=jnp.int32)
-    bn = lo.shape[1]
-    acc_ref[:, 0, :] += y[:, :bn]
-    acc_ref[:, 1, :] += y[:, bn:]
+    acc_ref[:, 0, :] += jnp.dot(xq, lo, preferred_element_type=jnp.int32)
+    acc_ref[:, 1, :] += jnp.dot(xq, hi, preferred_element_type=jnp.int32)
 
     @pl.when(k == nsteps_k - 1)
     def _():
@@ -586,11 +579,8 @@ def _w4_kernel_pref(idx_ref, x_ref, wp_ref, scale_ref, out_ref, acc_ref, *,
 
     x = x_ref[...]
     lo, hi = _unpack_block_bf16(wp_ref[0])
-    w2 = jnp.concatenate([lo, hi], axis=1)
-    y = jnp.dot(x, w2, preferred_element_type=jnp.float32)
-    bn = lo.shape[1]
-    acc_ref[:, 0, :] += y[:, :bn]
-    acc_ref[:, 1, :] += y[:, bn:]
+    acc_ref[:, 0, :] += jnp.dot(x, lo, preferred_element_type=jnp.float32)
+    acc_ref[:, 1, :] += jnp.dot(x, hi, preferred_element_type=jnp.float32)
 
     @pl.when(k == nsteps_k - 1)
     def _():
@@ -658,11 +648,8 @@ def _w4_affine_kernel_pref(idx_ref, x_ref, xsum_ref, wp_ref, sh_ref, out_ref,
 
     x = x_ref[...]
     lo, hi = _unpack_block_bf16(wp_ref[0])
-    w2 = jnp.concatenate([lo, hi], axis=1)
-    y = jnp.dot(x, w2, preferred_element_type=jnp.float32)
-    bn = lo.shape[1]
-    acc_ref[:, 0, :] += y[:, :bn]
-    acc_ref[:, 1, :] += y[:, bn:]
+    acc_ref[:, 0, :] += jnp.dot(x, lo, preferred_element_type=jnp.float32)
+    acc_ref[:, 1, :] += jnp.dot(x, hi, preferred_element_type=jnp.float32)
 
     @pl.when(k == nsteps_k - 1)
     def _():
