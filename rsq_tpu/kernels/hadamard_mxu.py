@@ -59,9 +59,27 @@ def hadamard_transform(x: jax.Array, dtype=None) -> jax.Array:
     optimized for the MXU. HIGHEST precision keeps the +-1 contractions exact.
     """
     n = x.shape[-1]
-    compute_dtype = dtype or (jnp.float32 if x.dtype != jnp.float64 else x.dtype)
     A, B, HA_np, HB_np = _factors_np(n)
     orig_dtype = x.dtype
+    if dtype is None and orig_dtype == jnp.bfloat16:
+        # bf16 fast path: H entries are +-1, so x*h products are EXACT in
+        # bf16 and each einsum accumulates in f32 (per-factor results are
+        # bit-identical to the f32 path; only the bf16 round-trip BETWEEN
+        # the two factors differs, matching the reference's default fp16
+        # online Hadamard, utils.py:103 fp32_had=False).  The MXU runs one
+        # bf16 pass instead of HIGHEST-precision f32 (6 passes).
+        xf = x.reshape(*x.shape[:-1], A, B)
+        if HB_np is not None:
+            HB = jnp.asarray(HB_np, dtype=jnp.bfloat16)
+            xf = jnp.einsum("...ab,bc->...ac", xf, HB,
+                            preferred_element_type=jnp.float32
+                            ).astype(jnp.bfloat16)
+        HA = jnp.asarray(HA_np, dtype=jnp.bfloat16)
+        xf = jnp.einsum("ka,...ab->...kb", HA, xf,
+                        preferred_element_type=jnp.float32)
+        out = xf.reshape(x.shape) / math.sqrt(n)
+        return out.astype(orig_dtype)
+    compute_dtype = dtype or (jnp.float32 if x.dtype != jnp.float64 else x.dtype)
     xf = x.astype(compute_dtype).reshape(*x.shape[:-1], A, B)
     hp = jax.lax.Precision.HIGHEST
     if HB_np is not None:
