@@ -258,9 +258,7 @@ def _decode_kernel_pref(idx_ref, len_ref, q_ref, kq_ref, kp_ref, vq_ref,
     def _():
         for h in range(heads):
             q = q_ref[0, h].astype(jnp.float32)           # (Gp, D)
-            dh = q.shape[-1] // 2
-            q_lo = q[:, :dh].astype(jnp.bfloat16)
-            q_hi = q[:, dh:].astype(jnp.bfloat16)
+            qb = q.astype(jnp.bfloat16)
             qsum = jnp.sum(q, axis=1, keepdims=True)      # (Gp, 1)
 
             ku = kq_ref[0, 0, h].astype(jnp.int32)        # (D/2, chunk)
@@ -269,8 +267,11 @@ def _decode_kernel_pref(idx_ref, len_ref, q_ref, kq_ref, kp_ref, vq_ref,
             ks = kp_ref[0, 0, h, 0, :].astype(jnp.float32)   # (chunk,)
             kz = kp_ref[0, 0, h, 1, :].astype(jnp.float32)
 
-            raw = (jnp.dot(q_lo, k_lo, preferred_element_type=jnp.float32)
-                   + jnp.dot(q_hi, k_hi, preferred_element_type=jnp.float32))
+            # one D-wide dot per side: q @ [k_lo; k_hi] == q_lo@k_lo +
+            # q_hi@k_hi — halves the MXU ops vs per-plane dots (the kernel
+            # is MXU-latency bound at decode tile sizes)
+            kf = jnp.concatenate([k_lo, k_hi], axis=0)    # (D, chunk)
+            raw = jnp.dot(qb, kf, preferred_element_type=jnp.float32)
             logits = raw * ks[None, :] - qsum * kz[None, :]
 
             pos = base + jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
@@ -292,15 +293,12 @@ def _decode_kernel_pref(idx_ref, len_ref, q_ref, kq_ref, kp_ref, vq_ref,
 
             ps = (p * vs[None, :]).astype(jnp.bfloat16)
             pz = jnp.sum(p * vz[None, :], axis=1, keepdims=True)
-            t_lo = jax.lax.dot_general(
-                ps, v_lo, dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)       # (Gp, D/2)
-            t_hi = jax.lax.dot_general(
-                ps, v_hi, dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
+            vf = jnp.concatenate([v_lo, v_hi], axis=0)    # (D, chunk)
+            t = jax.lax.dot_general(
+                ps, vf, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)       # (Gp, D)
 
-            acc_ref[h, :, :dh] = acc_ref[h, :, :dh] * alpha + t_lo - pz
-            acc_ref[h, :, dh:] = acc_ref[h, :, dh:] * alpha + t_hi - pz
+            acc_ref[h] = acc_ref[h] * alpha + t - pz
             m_ref[h] = jnp.broadcast_to(m_new, m_ref.shape[1:])
             l_ref[h] = jnp.broadcast_to(l_new, l_ref.shape[1:])
 
@@ -381,6 +379,82 @@ def int4_decode_attention_stacked(q, kq_all, kp_all, vq_all, vp_all, layer,
       qg, kq_all, kp_all, vq_all, vp_all)
     return (out[:, :, :G, :].reshape(B, Hq, D), m[:, :, :G, 0],
             l[:, :, :G, 0])
+
+
+def _append_kernel(idx_ref, kqc_ref, kpc_ref, vqc_ref, vpc_ref, nkq_ref,
+                   nkp_ref, nvq_ref, nvp_ref, okq_ref, okp_ref, ovq_ref,
+                   ovp_ref):
+    """In-place one-token append into the stacked cache: each grid step
+    read-modify-writes the 128-lane window containing this sequence's write
+    position (input_output_aliases make the windows update in place).
+
+    New-value operands arrive PRE-BROADCAST to 128 lanes: sub-lane-width
+    (e.g. 1-lane) uint8 blocks crash the Mosaic compiler, and u8->f32
+    casts are unsupported in-kernel, so the select runs lane-for-lane in
+    the native dtypes."""
+    b = pl.program_id(0)
+    col = idx_ref[1 + b] % 128
+
+    def wr(o_ref, c_ref, n_ref):
+        h, x = n_ref.shape[1], n_ref.shape[2]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (h, x, 128), 2)
+        o_ref[0, 0] = jnp.where(lane == col, n_ref[0], c_ref[0, 0])
+
+    wr(okq_ref, kqc_ref, nkq_ref)
+    wr(okp_ref, kpc_ref, nkp_ref)
+    wr(ovq_ref, vqc_ref, nvq_ref)
+    wr(ovp_ref, vpc_ref, nvp_ref)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def kv_append_stacked(kq, kp, vq, vp, layer, pos, nkq, nkp, nvq, nvp, *,
+                      interpret: bool | None = None):
+    """Append one token per sequence into layer `layer` of the stacked
+    cache, in place (aliased Pallas windows).  Replaces 4 x B
+    dynamic_update_slice ops per layer — their dispatch overhead was
+    1.5 ms of the 12.5 ms decode step (trace_decode r3).
+
+    kq/vq: (L, B, H, D/2, S) uint8; kp/vp: (L, B, H, 2, S) f32.
+    pos: (B,) int32 write positions (< S).
+    nkq/nvq: (B, H, D/2, 1) lane-major token values; nkp/nvp: (B, H, 2, 1).
+    Returns the four updated cache arrays."""
+    from rsq_tpu.kernels import default_interpret
+    interpret = default_interpret(interpret)
+    L, B, H, D2, S = kq.shape
+    scal = jnp.concatenate([jnp.asarray(layer, jnp.int32).reshape(1),
+                            pos.astype(jnp.int32)])
+
+    def cwin(x):
+        return pl.BlockSpec((1, 1, H, x, 128),
+                            lambda b, idx, x=x: (idx[0], b, 0, 0,
+                                                 idx[1 + b] // 128))
+
+    def nblk(x):
+        return pl.BlockSpec((1, H, x, 128), lambda b, idx: (b, 0, 0, 0))
+
+    def bcast(v, dt):
+        return jnp.broadcast_to(v.astype(dt), (*v.shape[:-1], 128))
+
+    return pl.pallas_call(
+        _append_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B,),
+            in_specs=[cwin(D2), cwin(2), cwin(D2), cwin(2),
+                      nblk(D2), nblk(2), nblk(D2), nblk(2)],
+            out_specs=[cwin(D2), cwin(2), cwin(D2), cwin(2)],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct(kq.shape, kq.dtype),
+            jax.ShapeDtypeStruct(kp.shape, kp.dtype),
+            jax.ShapeDtypeStruct(vq.shape, vq.dtype),
+            jax.ShapeDtypeStruct(vp.shape, vp.dtype),
+        ],
+        input_output_aliases={1: 0, 2: 1, 3: 2, 4: 3},
+        interpret=interpret,
+    )(scal, kq, kp, vq, vp,
+      bcast(nkq, kq.dtype), bcast(nkp, kp.dtype),
+      bcast(nvq, vq.dtype), bcast(nvp, vp.dtype))
 
 
 def merge_self_attention(out_old, m_old, l_old, q_scaled, k_self, v_self):

@@ -595,23 +595,14 @@ def _decode_step_fast(params, cache, token_ids, sc: ServingConfig):
 
         kq_, kp_ = KVK.to_lane_major(kq_t, kp_t)
         vq_, vp_ = KVK.to_lane_major(vq_t, vp_t)
-        # per-batch dynamic_update_slice, NOT a batched scatter: a scatter
-        # with a vector of positions makes XLA pick a non-default layout for
-        # the stacked cache, and every Pallas consumer (default layout only)
-        # then relayout-copies the full 268 MB arrays EVERY layer — measured
-        # at 79% of the decode step (benchmarks/trace_decode.py, r3).  DUS is
-        # layout-neutral and applied in place inside the loop carry.
-        for name, val in (("kq", kq_), ("kp", kp_), ("vq", vq_),
-                          ("vp", vp_)):
-            arr = cache[name]
-            li = jnp.asarray(i, jnp.int32)
-            z = jnp.int32(0)
-            for bb in range(b):
-                upd = val[bb, :, :, 0:1].astype(arr.dtype)[None, None]
-                arr = jax.lax.dynamic_update_slice(
-                    arr, upd, (li, jnp.int32(bb), z, z,
-                               pos[bb].astype(jnp.int32)))
-            cache[name] = arr
+        # ONE aliased Pallas append, NOT a batched scatter (a scatter with a
+        # vector of positions makes XLA pick a non-default layout for the
+        # stacked cache, and every Pallas consumer then relayout-copies the
+        # full 268 MB arrays EVERY layer — 79% of the r2 step) and NOT 4 x B
+        # dynamic_update_slices (1.5 ms of dispatch per step, trace r3).
+        cache["kq"], cache["kp"], cache["vq"], cache["vp"] = \
+            KVK.kv_append_stacked(cache["kq"], cache["kp"], cache["vq"],
+                                  cache["vp"], i, pos, kq_, kp_, vq_, vp_)
         attn = attn.reshape(b, 1, nq * hd)
         if sc.online_had:
             attn = head_mixing_hadamard(attn, head_dim=hd)

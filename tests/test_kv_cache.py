@@ -120,3 +120,27 @@ def test_stacked_decode_odd_max_seq():
         q, kq[1], kp[1], vq[1], vp[1], lengths)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-3, atol=2e-3)
+
+
+def test_kv_append_stacked_matches_scatter():
+    """Aliased Pallas append == the batched scatter it replaces."""
+    import jax
+    rng = np.random.default_rng(11)
+    L, B, H, D2, S = 3, 4, 2, 8, 384
+    kq = jnp.asarray(rng.integers(0, 256, (L, B, H, D2, S)), jnp.uint8)
+    kp = jnp.asarray(rng.uniform(0.01, 1, (L, B, H, 2, S)), jnp.float32)
+    vq = jnp.asarray(rng.integers(0, 256, (L, B, H, D2, S)), jnp.uint8)
+    vp = jnp.asarray(rng.uniform(0.01, 1, (L, B, H, 2, S)), jnp.float32)
+    pos = jnp.asarray([0, 127, 128, 383], jnp.int32)
+    nkq = jnp.asarray(rng.integers(0, 256, (B, H, D2, 1)), jnp.uint8)
+    nkp = jnp.asarray(rng.uniform(0.01, 1, (B, H, 2, 1)), jnp.float32)
+    nvq = jnp.asarray(rng.integers(0, 256, (B, H, D2, 1)), jnp.uint8)
+    nvp = jnp.asarray(rng.uniform(0.01, 1, (B, H, 2, 1)), jnp.float32)
+    layer = 1
+    okq, okp, ovq, ovp = KV.kv_append_stacked(
+        kq, kp, vq, vp, layer, pos, nkq, nkp, nvq, nvp)
+    bidx = jnp.arange(B)
+    for out, cache, new in ((okq, kq, nkq), (okp, kp, nkp),
+                            (ovq, vq, nvq), (ovp, vp, nvp)):
+        want = cache.at[layer, bidx, :, :, pos].set(new[..., 0])
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(want))
