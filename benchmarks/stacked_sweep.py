@@ -122,6 +122,20 @@ def main():
                 bn = lo.shape[1]
                 acc_ref[:, 0, :] += y[:, :bn]
                 acc_ref[:, 1, :] += y[:, bn:]
+            elif variant == "u32":
+                # operate on packed u32 words (4 bytes/lane-op instead of
+                # widening every byte to i32): one AND (+1 shift for hi)
+                # + xor-bias in u32, then a single i8 subtract after
+                # bitcasting back — ~4x fewer VPU ops than shift-unpack
+                w32 = pltpu.bitcast(w, jnp.uint32)        # (bk/4, bn)
+                lo32 = (w32 & 0x0F0F0F0F) ^ 0x08080808
+                hi32 = ((w32 >> 4) & 0x0F0F0F0F) ^ 0x08080808
+                lo = pltpu.bitcast(lo32, jnp.int8) - 8    # (bk, bn) in [-8,7]
+                hi = pltpu.bitcast(hi32, jnp.int8) - 8
+                acc_ref[:, 0, :] += jnp.dot(
+                    xq, lo, preferred_element_type=jnp.int32)
+                acc_ref[:, 1, :] += jnp.dot(
+                    xq, hi, preferred_element_type=jnp.int32)
             elif variant == "int4":
                 w4 = jax.lax.bitcast_convert_type(w, jnp.int4)  # (bk,bn,2)
                 w4 = w4.reshape(w.shape[0], -1)                 # (bk,2bn)
@@ -181,8 +195,10 @@ def main():
 
     shapes = [(2048, 1024), (3584, 1024), (2048, 2048), (7168, 512),
               (1792, 2048), (14336, 256)]
-    for variant in ("base", "twodot", "shift", "shift1", "int4"):
-        for bn, bk in (shapes if variant in ("base", "shift") else
+    variants = (sys.argv[1:] or
+                ["base", "twodot", "shift", "shift1", "int4", "u32"])
+    for variant in variants:
+        for bn, bk in (shapes if variant in ("base", "shift", "u32") else
                        [(2048, 1024), (2048, 2048)]):
             try:
                 dt = timed(make_call(variant, bn, bk), x, wp, scale2)

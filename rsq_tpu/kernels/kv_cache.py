@@ -42,6 +42,20 @@ from jax.experimental.pallas import tpu as pltpu
 MASK_VALUE = -1e30
 
 
+def _unpack_u4_bf16(packed):
+    """uint8 (R, C) -> two bf16 (R, C) UNSIGNED nibble planes in [0, 15].
+
+    Word-packed unpack (see matmul_w4._unpack_block_i8_biased): one mask
+    (+ one shift for the high plane) per FOUR bytes in i32, then a single
+    i8 -> bf16 convert, instead of widening every byte to i32.  Asym KV
+    nibbles are stored unsigned, so no sign fix is needed.  Requires
+    R % 4 == 0 (always: R = D/2 >= 32)."""
+    w32 = pltpu.bitcast(packed, jnp.int32)
+    lo = pltpu.bitcast(w32 & 0x0F0F0F0F, jnp.int8).astype(jnp.bfloat16)
+    hi = pltpu.bitcast((w32 >> 4) & 0x0F0F0F0F, jnp.int8).astype(jnp.bfloat16)
+    return lo, hi
+
+
 # ---------------------------------------------------------------------------
 # Quantize / pack (jnp; used by append paths)
 # ---------------------------------------------------------------------------
@@ -121,9 +135,7 @@ def _decode_kernel(len_ref, q_ref, kq_ref, kp_ref, vq_ref, vp_ref, out_ref,
         q_hi = q[:, dh:].astype(jnp.bfloat16)
         qsum = jnp.sum(q, axis=1, keepdims=True)      # (Gp, 1)
 
-        ku = kq_ref[0, 0].astype(jnp.int32)           # (D/2, chunk)
-        k_lo = (ku & 0x0F).astype(jnp.bfloat16)
-        k_hi = ((ku >> 4) & 0x0F).astype(jnp.bfloat16)
+        k_lo, k_hi = _unpack_u4_bf16(kq_ref[0, 0])    # (D/2, chunk)
         ks = kp_ref[0, 0, 0, :].astype(jnp.float32)   # (chunk,)
         kz = kp_ref[0, 0, 1, :].astype(jnp.float32)
 
@@ -141,9 +153,7 @@ def _decode_kernel(len_ref, q_ref, kq_ref, kp_ref, vq_ref, vp_ref, out_ref,
         p = jnp.exp(logits - m_new)                   # (Gp, chunk) f32
         l_new = alpha * l_ref[...][:, 0:1] + jnp.sum(p, axis=1, keepdims=True)
 
-        vu = vq_ref[0, 0].astype(jnp.int32)           # (D/2, chunk)
-        v_lo = (vu & 0x0F).astype(jnp.bfloat16)
-        v_hi = ((vu >> 4) & 0x0F).astype(jnp.bfloat16)
+        v_lo, v_hi = _unpack_u4_bf16(vq_ref[0, 0])    # (D/2, chunk)
         vs = vp_ref[0, 0, 0, :].astype(jnp.float32)
         vz = vp_ref[0, 0, 1, :].astype(jnp.float32)
 
@@ -261,9 +271,7 @@ def _decode_kernel_pref(idx_ref, len_ref, q_ref, kq_ref, kp_ref, vq_ref,
             qb = q.astype(jnp.bfloat16)
             qsum = jnp.sum(q, axis=1, keepdims=True)      # (Gp, 1)
 
-            ku = kq_ref[0, 0, h].astype(jnp.int32)        # (D/2, chunk)
-            k_lo = (ku & 0x0F).astype(jnp.bfloat16)
-            k_hi = ((ku >> 4) & 0x0F).astype(jnp.bfloat16)
+            k_lo, k_hi = _unpack_u4_bf16(kq_ref[0, 0, h])  # (D/2, chunk)
             ks = kp_ref[0, 0, h, 0, :].astype(jnp.float32)   # (chunk,)
             kz = kp_ref[0, 0, h, 1, :].astype(jnp.float32)
 
@@ -285,9 +293,7 @@ def _decode_kernel_pref(idx_ref, len_ref, q_ref, kq_ref, kp_ref, vq_ref,
             l_new = (alpha * l_ref[h][:, 0:1]
                      + jnp.sum(p, axis=1, keepdims=True))
 
-            vu = vq_ref[0, 0, h].astype(jnp.int32)        # (D/2, chunk)
-            v_lo = (vu & 0x0F).astype(jnp.bfloat16)
-            v_hi = ((vu >> 4) & 0x0F).astype(jnp.bfloat16)
+            v_lo, v_hi = _unpack_u4_bf16(vq_ref[0, 0, h])  # (D/2, chunk)
             vs = vp_ref[0, 0, h, 0, :].astype(jnp.float32)
             vz = vp_ref[0, 0, h, 1, :].astype(jnp.float32)
 

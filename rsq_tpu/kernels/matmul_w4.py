@@ -340,8 +340,28 @@ def _unpack_block_i8(wp):
     return lo, hi
 
 
+def _unpack_block_i8_biased(wp):
+    """uint8 (BK, BN) -> two int8 nibble planes BIASED by +8 (values q+8 in
+    [0, 15]).
+
+    Works on packed i32 words (pltpu.bitcast keeps the lane dim and folds 4
+    sublanes per word): one mask + one xor per FOUR bytes for the low plane
+    (plus one shift for the high), vs ~8 widening i32 ops per byte for the
+    shift unpack — measured 698 vs 612 GB/s weight streaming on v5e at
+    decode shapes.  The xor flips each nibble's sign bit, turning two's
+    complement into offset binary: u ^ 8 == q + 8 for q in [-8, 7].  The
+    bias is removed exactly by the caller as a rank-1 i32 correction
+    (dot(xq, q+8) == dot(xq, q) + 8*rowsum(xq)); a direct in-kernel i8
+    subtract is not lowerable (crashes the Mosaic backend).  Requires
+    BK % 4 == 0."""
+    w32 = pltpu.bitcast(wp, jnp.int32)
+    lo = pltpu.bitcast((w32 & 0x0F0F0F0F) ^ 0x08080808, jnp.int8)
+    hi = pltpu.bitcast(((w32 >> 4) & 0x0F0F0F0F) ^ 0x08080808, jnp.int8)
+    return lo, hi
+
+
 def _w4a4_kernel_i8(x_ref, xs_ref, wp_ref, scale_ref, out_ref, acc_ref, *,
-                    nsteps_k):
+                    nsteps_k, biased):
     k = pl.program_id(2)
 
     @pl.when(k == 0)
@@ -351,12 +371,20 @@ def _w4a4_kernel_i8(x_ref, xs_ref, wp_ref, scale_ref, out_ref, acc_ref, *,
     inv = 1.0 / xs_ref[...]                     # (bm, 1)
     xq = jnp.clip(jnp.round(x_ref[...].astype(jnp.float32) * inv), -8, 7)
     xq = xq.astype(jnp.int8)
-    lo, hi = _unpack_block_i8(wp_ref[...])
-    # two dots, NO concat: with the cheap shift unpack the kernel is still
-    # VPU-bound, and the (bk, 2bn) concat copy costs more than the second
-    # dot's pipeline bubble (618 vs 547 GB/s, stacked_sweep.py)
-    acc_ref[:, 0, :] += jnp.dot(xq, lo, preferred_element_type=jnp.int32)
-    acc_ref[:, 1, :] += jnp.dot(xq, hi, preferred_element_type=jnp.int32)
+    # two dots, NO concat: the (bk, 2bn) concat copy costs more than the
+    # second dot's pipeline bubble (618 vs 547 GB/s, stacked_sweep.py)
+    if biased:
+        lo, hi = _unpack_block_i8_biased(wp_ref[...])
+        # exact: integer domain; removes the +8 plane bias
+        corr = 8 * jnp.sum(xq.astype(jnp.int32), axis=1, keepdims=True)
+        acc_ref[:, 0, :] += jnp.dot(
+            xq, lo, preferred_element_type=jnp.int32) - corr
+        acc_ref[:, 1, :] += jnp.dot(
+            xq, hi, preferred_element_type=jnp.int32) - corr
+    else:
+        lo, hi = _unpack_block_i8(wp_ref[...])
+        acc_ref[:, 0, :] += jnp.dot(xq, lo, preferred_element_type=jnp.int32)
+        acc_ref[:, 1, :] += jnp.dot(xq, hi, preferred_element_type=jnp.int32)
 
     @pl.when(k == nsteps_k - 1)
     def _():
@@ -453,7 +481,10 @@ def w4a4_matmul_paired(x, w_packed, scale2, token_scale=None, *,
     if mxu_int8 is None:
         # decode shapes: MXU weight-load bound -> int8
         mxu_int8 = (M <= 32) if decode is None else decode
-    kern = _w4a4_kernel_i8 if mxu_int8 else _w4a4_kernel
+    if mxu_int8:
+        kern = functools.partial(_w4a4_kernel_i8, biased=bk % 4 == 0)
+    else:
+        kern = _w4a4_kernel
     acc_dtype = jnp.int32 if mxu_int8 else jnp.float32
 
     grid = (Mp // bm, Nhp // bn, nk)
@@ -475,7 +506,7 @@ def w4a4_matmul_paired(x, w_packed, scale2, token_scale=None, *,
 
 
 def _w4a4_kernel_i8_pref(idx_ref, x_ref, xs_ref, wp_ref, scale_ref, out_ref,
-                         acc_ref, *, nsteps_k):
+                         acc_ref, *, nsteps_k, biased):
     """Scalar-prefetch variant: wp_ref is a (1, bk, bn) block of the FULL
     stacked (L, K, Nh) weights, selected by the prefetched layer index —
     the layer loop never slices (= copies) a weight matrix in HBM."""
@@ -488,9 +519,17 @@ def _w4a4_kernel_i8_pref(idx_ref, x_ref, xs_ref, wp_ref, scale_ref, out_ref,
     inv = 1.0 / xs_ref[...]
     xq = jnp.clip(jnp.round(x_ref[...].astype(jnp.float32) * inv), -8, 7)
     xq = xq.astype(jnp.int8)
-    lo, hi = _unpack_block_i8(wp_ref[0])
-    acc_ref[:, 0, :] += jnp.dot(xq, lo, preferred_element_type=jnp.int32)
-    acc_ref[:, 1, :] += jnp.dot(xq, hi, preferred_element_type=jnp.int32)
+    if biased:
+        lo, hi = _unpack_block_i8_biased(wp_ref[0])
+        corr = 8 * jnp.sum(xq.astype(jnp.int32), axis=1, keepdims=True)
+        acc_ref[:, 0, :] += jnp.dot(
+            xq, lo, preferred_element_type=jnp.int32) - corr
+        acc_ref[:, 1, :] += jnp.dot(
+            xq, hi, preferred_element_type=jnp.int32) - corr
+    else:
+        lo, hi = _unpack_block_i8(wp_ref[0])
+        acc_ref[:, 0, :] += jnp.dot(xq, lo, preferred_element_type=jnp.int32)
+        acc_ref[:, 1, :] += jnp.dot(xq, hi, preferred_element_type=jnp.int32)
 
     @pl.when(k == nsteps_k - 1)
     def _():
@@ -545,7 +584,8 @@ def w4a4_matmul_paired_stacked(x, wp_all, scale2, layer, token_scale=None, *,
 
     grid = (Mp // bm, Nh // bn, nk)
     out3 = pl.pallas_call(
-        functools.partial(_w4a4_kernel_i8_pref, nsteps_k=nk),
+        functools.partial(_w4a4_kernel_i8_pref, nsteps_k=nk,
+                          biased=bk % 4 == 0),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
@@ -567,7 +607,7 @@ def w4a4_matmul_paired_stacked(x, wp_all, scale2, layer, token_scale=None, *,
 
 
 def _w4_kernel_pref(idx_ref, x_ref, wp_ref, scale_ref, out_ref, acc_ref, *,
-                    nsteps_k):
+                    nsteps_k, biased):
     """Scalar-prefetch weight-only W4 kernel over stacked (L, K, Nh) weights
     (bf16 x, no activation quant) — the non-a4 twin of
     _w4a4_kernel_i8_pref (ADVICE r2 #5)."""
@@ -578,9 +618,19 @@ def _w4_kernel_pref(idx_ref, x_ref, wp_ref, scale_ref, out_ref, acc_ref, *,
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
     x = x_ref[...]
-    lo, hi = _unpack_block_bf16(wp_ref[0])
-    acc_ref[:, 0, :] += jnp.dot(x, lo, preferred_element_type=jnp.float32)
-    acc_ref[:, 1, :] += jnp.dot(x, hi, preferred_element_type=jnp.float32)
+    if biased:
+        lo8, hi8 = _unpack_block_i8_biased(wp_ref[0])
+        lo = lo8.astype(jnp.bfloat16)
+        hi = hi8.astype(jnp.bfloat16)
+        corr = 8.0 * jnp.sum(x.astype(jnp.float32), axis=1, keepdims=True)
+        acc_ref[:, 0, :] += jnp.dot(
+            x, lo, preferred_element_type=jnp.float32) - corr
+        acc_ref[:, 1, :] += jnp.dot(
+            x, hi, preferred_element_type=jnp.float32) - corr
+    else:
+        lo, hi = _unpack_block_bf16(wp_ref[0])
+        acc_ref[:, 0, :] += jnp.dot(x, lo, preferred_element_type=jnp.float32)
+        acc_ref[:, 1, :] += jnp.dot(x, hi, preferred_element_type=jnp.float32)
 
     @pl.when(k == nsteps_k - 1)
     def _():
@@ -616,7 +666,7 @@ def w4_matmul_paired_stacked(x, wp_all, scale2, layer, *,
 
     grid = (Mp // bm, Nh // bn, nk)
     out3 = pl.pallas_call(
-        functools.partial(_w4_kernel_pref, nsteps_k=nk),
+        functools.partial(_w4_kernel_pref, nsteps_k=nk, biased=bk % 4 == 0),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
@@ -637,7 +687,7 @@ def w4_matmul_paired_stacked(x, wp_all, scale2, layer, *,
 
 
 def _w4_affine_kernel_pref(idx_ref, x_ref, xsum_ref, wp_ref, sh_ref, out_ref,
-                           acc_ref, *, nsteps_k, zero):
+                           acc_ref, *, nsteps_k, zero, biased):
     """Scalar-prefetch affine (E8P re-encoded) kernel over stacked weights;
     sh_ref is the (L,) per-layer scalar scale vector in SMEM."""
     k = pl.program_id(2)
@@ -647,9 +697,19 @@ def _w4_affine_kernel_pref(idx_ref, x_ref, xsum_ref, wp_ref, sh_ref, out_ref,
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
     x = x_ref[...]
-    lo, hi = _unpack_block_bf16(wp_ref[0])
-    acc_ref[:, 0, :] += jnp.dot(x, lo, preferred_element_type=jnp.float32)
-    acc_ref[:, 1, :] += jnp.dot(x, hi, preferred_element_type=jnp.float32)
+    if biased:
+        lo8, hi8 = _unpack_block_i8_biased(wp_ref[0])
+        lo = lo8.astype(jnp.bfloat16)
+        hi = hi8.astype(jnp.bfloat16)
+        corr = 8.0 * jnp.sum(x.astype(jnp.float32), axis=1, keepdims=True)
+        acc_ref[:, 0, :] += jnp.dot(
+            x, lo, preferred_element_type=jnp.float32) - corr
+        acc_ref[:, 1, :] += jnp.dot(
+            x, hi, preferred_element_type=jnp.float32) - corr
+    else:
+        lo, hi = _unpack_block_bf16(wp_ref[0])
+        acc_ref[:, 0, :] += jnp.dot(x, lo, preferred_element_type=jnp.float32)
+        acc_ref[:, 1, :] += jnp.dot(x, hi, preferred_element_type=jnp.float32)
 
     @pl.when(k == nsteps_k - 1)
     def _():
@@ -686,7 +746,8 @@ def w4_affine_matmul_stacked(x, wp_all, sh_all, layer, *, zero: float = 0.5,
 
     grid = (Mp // bm, Nh // bn, nk)
     out3 = pl.pallas_call(
-        functools.partial(_w4_affine_kernel_pref, nsteps_k=nk, zero=zero),
+        functools.partial(_w4_affine_kernel_pref, nsteps_k=nk, zero=zero,
+                          biased=bk % 4 == 0),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,

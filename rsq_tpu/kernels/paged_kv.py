@@ -39,7 +39,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from rsq_tpu.kernels.kv_cache import (
-    MASK_VALUE, asym_quant_pack_head, to_lane_major, unpack_dequant_head)
+    MASK_VALUE, _unpack_u4_bf16, asym_quant_pack_head, to_lane_major,
+    unpack_dequant_head)
 
 
 # ---------------------------------------------------------------------------
@@ -68,9 +69,7 @@ def _paged_decode_kernel(ptab_ref, len_ref, q_ref, kq_ref, kp_ref, vq_ref,
         q_hi = q[:, dh:].astype(jnp.bfloat16)
         qsum = jnp.sum(q, axis=1, keepdims=True)      # (Gp, 1)
 
-        ku = kq_ref[0, 0].astype(jnp.int32)           # (D/2, page)
-        k_lo = (ku & 0x0F).astype(jnp.bfloat16)
-        k_hi = ((ku >> 4) & 0x0F).astype(jnp.bfloat16)
+        k_lo, k_hi = _unpack_u4_bf16(kq_ref[0, 0])    # (D/2, page)
         ks = kp_ref[0, 0, 0, :].astype(jnp.float32)   # (page,)
         kz = kp_ref[0, 0, 1, :].astype(jnp.float32)
 
@@ -89,9 +88,7 @@ def _paged_decode_kernel(ptab_ref, len_ref, q_ref, kq_ref, kp_ref, vq_ref,
         l_new = alpha * l_ref[...][:, 0:1] + jnp.sum(prob, axis=1,
                                                      keepdims=True)
 
-        vu = vq_ref[0, 0].astype(jnp.int32)           # (D/2, page)
-        v_lo = (vu & 0x0F).astype(jnp.bfloat16)
-        v_hi = ((vu >> 4) & 0x0F).astype(jnp.bfloat16)
+        v_lo, v_hi = _unpack_u4_bf16(vq_ref[0, 0])    # (D/2, page)
         vs = vp_ref[0, 0, 0, :].astype(jnp.float32)
         vz = vp_ref[0, 0, 1, :].astype(jnp.float32)
 
