@@ -44,11 +44,11 @@ def build_int4_params(cfg, seed=0):
         def packed(k, n):
             # uint8 directly via random.bits — randint would materialize an
             # int32 intermediate 4x the packed size (the round-1 OOM: the
-            # up/gate/down int32 temps alone were ~13 GB)
+            # up/gate/down int32 temps alone were ~13 GB).  Plane-major
+            # layout ("wpm", params.repack_plane_major): random bytes are
+            # layout-agnostic, the KEY selects the free-reshape un-pair path
             wp = jax.random.bits(next(ks), (L, k, n // 2), dtype=jnp.uint8)
-            scale = jax.random.uniform(next(ks), (L, n), minval=0.5,
-                                       maxval=1.5) / (7 * np.sqrt(k))
-            return {"wp": wp, "scale": scale.astype(jnp.float32), "b": None}
+            return {"wpm": wp, "scale2": scales2(n, k), "b": None}
 
         def scales2(n, k):
             s = jax.random.uniform(next(ks), (L, 2, n // 2), minval=0.5,

@@ -265,14 +265,17 @@ def _w4_affine_kernel(x_ref, xsum_ref, wp_ref, sh_ref, out_ref, acc_ref, *,
 
 @functools.partial(jax.jit, static_argnames=("zero", "block_m", "block_n",
                                              "block_k", "decode",
-                                             "interpret"))
+                                             "plane_major", "interpret"))
 def w4_affine_matmul(x, w_packed, scale, *, zero: float = 0.5,
                      block_m: int | None = None, block_n: int | None = None,
                      block_k: int | None = None, decode: bool | None = None,
+                     plane_major: bool = False,
                      interpret: bool | None = None):
     """y = x @ ((unpack(W) + zero) * scale).  x: (M, K); w_packed: uint8
     (K, N/2) planar; scale: scalar (per-tensor).  The constant offset folds
-    into a rank-1 row-sum correction: y = (x @ q + zero * sum_k x) * scale."""
+    into a rank-1 row-sum correction: y = (x @ q + zero * sum_k x) * scale.
+    plane_major: byte j holds natural cols (j, j+Nh) (params.
+    repack_plane_major) — un-pairing is then a free reshape."""
     from rsq_tpu.kernels import default_interpret
     interpret = default_interpret(interpret)
     M, K = x.shape
@@ -306,7 +309,10 @@ def w4_affine_matmul(x, w_packed, scale, *, zero: float = 0.5,
         scratch_shapes=[pltpu.VMEM((bm, 2, bn), jnp.float32)],
         interpret=interpret,
     )(x, xsum, w_packed, jnp.asarray(scale, jnp.float32).reshape(1))
-    y = unpair_outputs(out3[:, :, :Nh])
+    if plane_major:
+        y = out3[:, :, :Nh].reshape(out3.shape[0], 2 * Nh)
+    else:
+        y = unpair_outputs(out3[:, :, :Nh])
     return y[:M]
 
 
@@ -719,11 +725,13 @@ def _w4_affine_kernel_pref(idx_ref, x_ref, xsum_ref, wp_ref, sh_ref, out_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("zero", "block_m", "block_n",
-                                             "block_k", "interpret"))
+                                             "block_k", "plane_major",
+                                             "interpret"))
 def w4_affine_matmul_stacked(x, wp_all, sh_all, layer, *, zero: float = 0.5,
                              block_m: int | None = None,
                              block_n: int | None = None,
                              block_k: int | None = None,
+                             plane_major: bool = False,
                              interpret: bool | None = None):
     """w4_affine_matmul against layer `layer` of stacked (L, K, Nh) weights
     + (L,) per-layer scalar scales, copy-free (scalar-prefetch index)."""
@@ -766,7 +774,10 @@ def w4_affine_matmul_stacked(x, wp_all, sh_all, layer, *, zero: float = 0.5,
         interpret=interpret,
     )(jnp.asarray(layer, jnp.int32).reshape(1), x, xsum, wp_all,
       jnp.asarray(sh_all, jnp.float32).reshape(-1))
-    y = unpair_outputs(out3[:, :, :Nh])
+    if plane_major:
+        y = out3.reshape(out3.shape[0], 2 * Nh)
+    else:
+        y = unpair_outputs(out3[:, :, :Nh])
     return y[:M]
 
 

@@ -59,6 +59,26 @@ def serving_linear(x, p, sc: ServingConfig, tp_axis: str | None = None,
     from M; serving layer functions always pass it)."""
     lead = x.shape[:-1]
     x2 = x.reshape(-1, x.shape[-1])
+    if "wpm" in p:
+        # plane-major packed layout (params.repack_plane_major, decode prep):
+        # the paired kernel output un-pairs with a free reshape
+        from rsq_tpu.kernels.matmul_w4 import (w4_affine_matmul,
+                                               w4_matmul_paired,
+                                               w4a4_matmul_paired)
+        if "sh" in p:
+            y = w4_affine_matmul(x2, p["wpm"], p["sh"], decode=decode,
+                                 plane_major=True)
+        else:
+            if sc.a4:
+                y3 = w4a4_matmul_paired(x2, p["wpm"], p["scale2"],
+                                        clip_ratio=sc.a_clip, decode=decode)
+            else:
+                y3 = w4_matmul_paired(x2, p["wpm"], p["scale2"],
+                                      decode=decode)
+            y = y3.reshape(y3.shape[0], -1)
+        if p.get("b") is not None:
+            y = y + p["b"].astype(y.dtype)
+        return y.reshape(*lead, y.shape[-1])
     if "sh" in p:
         # E8P 2-bit weights, losslessly re-encoded to affine int4 at convert
         # time (w = (q + 0.5) * sh, params.pack_linear_e8p): ONE fused Pallas
@@ -103,11 +123,11 @@ def serving_linear(x, p, sc: ServingConfig, tp_axis: str | None = None,
 
 def serving_linear_fused(x, p, sc: ServingConfig,
                          decode: bool | None = None):
-    """Fused concatenated packed linears (params.fuse_for_decode layout):
-    ONE kernel call over the concatenated output dim, then per-segment
-    unpair + bias.  Returns a list of (..., N_seg) tensors."""
-    from rsq_tpu.kernels.matmul_w4 import (unpair_outputs, w4_matmul_paired,
-                                           w4a4_matmul_paired)
+    """Fused concatenated packed linears (params.fuse_for_decode layout,
+    plane-major per segment): ONE kernel call over the concatenated output
+    dim, then per-segment free-reshape un-pair + bias.  Returns a list of
+    (..., N_seg) tensors."""
+    from rsq_tpu.kernels.matmul_w4 import w4_matmul_paired, w4a4_matmul_paired
     lead = x.shape[:-1]
     x2 = x.reshape(-1, x.shape[-1])
     scale2 = jnp.concatenate(p["scales2"], axis=1)
@@ -119,7 +139,7 @@ def serving_linear_fused(x, p, sc: ServingConfig,
     outs, off = [], 0
     for s2, b in zip(p["scales2"], p["bs"]):
         nh = s2.shape[1]
-        seg = unpair_outputs(y3[:, :, off:off + nh])
+        seg = y3[:, :, off:off + nh].reshape(y3.shape[0], 2 * nh)
         off += nh
         if b is not None:
             seg = seg + b.astype(seg.dtype)
@@ -503,7 +523,9 @@ def _sl(p, i):
 
 def _linear_fast(x2, p, i, sc: ServingConfig):
     """Per-layer linear against stacked params p at layer i.  Fused entries
-    ('wp2') return a list of segment outputs; plain entries return one."""
+    ('wp2') return a list of segment outputs; plain entries return one.
+    Plane-major entries ('wp2'/'wpm', params.fuse_for_decode) un-pair with
+    free reshapes; legacy adjacent entries ('wp') pay an interleave."""
     from rsq_tpu.kernels.matmul_w4 import (
         pair_scales, unpair_outputs, w4_affine_matmul_stacked,
         w4_matmul_paired_stacked, w4a4_matmul_paired_stacked)
@@ -517,13 +539,24 @@ def _linear_fast(x2, p, i, sc: ServingConfig):
         outs, off = [], 0
         for s, b in zip(p["scales2"], p["bs"]):
             nh = s.shape[-1]
-            seg = unpair_outputs(y3[:, :, off:off + nh])
+            seg = y3[:, :, off:off + nh].reshape(y3.shape[0], 2 * nh)
             off += nh
             if b is not None:
                 seg = seg + b[i].astype(seg.dtype)
             outs.append(seg)
         return outs
-    if "sh" in p:
+    if "wpm" in p:
+        if "sh" in p:
+            y = w4_affine_matmul_stacked(x2, p["wpm"], p["sh"], i,
+                                         plane_major=True)
+        elif sc.a4:
+            y3 = w4a4_matmul_paired_stacked(x2, p["wpm"], p["scale2"][i], i,
+                                            clip_ratio=sc.a_clip)
+            y = y3.reshape(y3.shape[0], -1)
+        else:
+            y3 = w4_matmul_paired_stacked(x2, p["wpm"], p["scale2"][i], i)
+            y = y3.reshape(y3.shape[0], -1)
+    elif "sh" in p:
         y = w4_affine_matmul_stacked(x2, p["wp"], p["sh"], i)
     elif "wp" in p:
         if sc.a4:

@@ -56,14 +56,41 @@ def pack_linear_e8p(p, qinfo):
     }
 
 
+def plane_scales(scale) -> jax.Array:
+    """(N,) natural per-output scales -> (2, N/2) plane-major: row p holds
+    scales for natural outputs [p*N/2, (p+1)*N/2) — a free reshape, matching
+    repack_plane_major's byte layout."""
+    s = jnp.asarray(scale)
+    return s.reshape(2, s.shape[-1] // 2)
+
+
+def repack_plane_major(wp) -> jax.Array:
+    """Adjacent-planar packed uint8 (K, Nh) -> PLANE-MAJOR packed: byte j
+    holds natural outputs j (low nibble) and j + Nh (high nibble).
+
+    The paired kernels emit (M, 2, Nh) plane outputs; under this layout the
+    un-pairing to natural (M, N) is a FREE reshape, where the adjacent
+    layout needs an element-interleave that XLA materializes as relayout
+    copies (~0.9 ms of the 10 ms Llama-3-8B decode step, trace r3).  Only
+    the single-device decode path (fuse_for_decode) uses it: under TP the
+    adjacent layout keeps byte shards aligned with natural column/scale
+    shards (parallel/tp._linear_spec)."""
+    from rsq_tpu.kernels.matmul_w4 import unpack_w4_planar
+    w = unpack_w4_planar(wp)                       # (K, N) natural int8
+    u = jnp.where(w < 0, w + 16, w).astype(jnp.uint8)
+    nh = u.shape[-1] // 2
+    return (u[..., :nh] | (u[..., nh:] << 4)).astype(jnp.uint8)
+
+
 def _fuse_packed(ps):
-    """Concatenate packed linears (same K) along the packed-output axis.
-    Segment widths are recovered from the per-segment paired scales, so the
-    fused dict stays a clean pytree (no int leaves)."""
-    from rsq_tpu.kernels.matmul_w4 import pair_scales
+    """Concatenate packed linears (same K) along the packed-output axis,
+    re-packing each segment plane-major.  Segment widths are recovered from
+    the per-segment paired scales, so the fused dict stays a clean pytree
+    (no int leaves)."""
     return {
-        "wp2": jnp.concatenate([p["wp"] for p in ps], axis=1),
-        "scales2": [pair_scales(p["scale"]) for p in ps],
+        "wp2": jnp.concatenate([repack_plane_major(p["wp"]) for p in ps],
+                               axis=1),
+        "scales2": [plane_scales(p["scale"]) for p in ps],
         "bs": [p.get("b") for p in ps],
     }
 
@@ -91,6 +118,20 @@ def fuse_for_decode(params):
             nlp["upgate"] = _fuse_packed([lp["up"], lp["gate"]])
             for n in ("up", "gate"):
                 del nlp[n]
+        # remaining packed linears (o/down, and E8P affine entries) convert
+        # to the plane-major layout too ("wpm"): their un-pairing also
+        # becomes a free reshape on the decode path
+        for name in list(nlp):
+            e = nlp[name]
+            if not (isinstance(e, dict) and "wp" in e):
+                continue
+            if "sh" in e:
+                nlp[name] = {"wpm": repack_plane_major(e["wp"]),
+                             "sh": e["sh"], "b": e.get("b")}
+            elif "scale" in e:
+                nlp[name] = {"wpm": repack_plane_major(e["wp"]),
+                             "scale2": plane_scales(e["scale"]),
+                             "b": e.get("b")}
         layers.append(nlp)
     out["layers"] = layers
     return out
