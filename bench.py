@@ -86,8 +86,12 @@ def build_bf16_params(cfg, seed=0):
         ks = iter(jax.random.split(key, 32))
 
         def dense(k, n):
+            # NB: the scale must be a PYTHON float (weak type): an np.float64
+            # scalar is strong and silently promotes the whole model to f32 —
+            # 2x the HBM and an inflated int4-vs-16bit speedup (r3 OOM dump)
             w = jax.random.normal(next(ks), (L, k, n),
-                                  dtype=jnp.bfloat16) * (0.1 / np.sqrt(k))
+                                  dtype=jnp.bfloat16) * float(0.1 / np.sqrt(k))
+            assert w.dtype == jnp.bfloat16
             return {"w": w, "b": None}
 
         stacked = {
