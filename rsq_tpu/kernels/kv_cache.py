@@ -387,6 +387,180 @@ def int4_decode_attention_stacked(q, kq_all, kp_all, vq_all, vp_all, layer,
             l[:, :, :G, 0])
 
 
+def _decode_kernel_bf16_pref(idx_ref, len_ref, q_ref, k_ref, v_ref, out_ref,
+                             m_out_ref, l_out_ref, m_ref, l_ref, acc_ref, *,
+                             chunk, nchunks, heads):
+    """16-bit twin of _decode_kernel_pref: flash decode over the stacked
+    DENSE (L, B, H, S, D) cache, selected by the prefetched layer index —
+    the bf16 serving path previously sliced the cache per layer under
+    lax.scan, a ~190 MB relayout copy per step at 12 layers (r3 OOM dump).
+    Emits online-softmax state (m, l) like the int4 kernel so the caller
+    merges the current token's self term and the append stays in place."""
+    s = pl.program_id(1)
+
+    @pl.when(s == 0)
+    def _():
+        m_ref[...] = jnp.full_like(m_ref, -jnp.inf)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    length = len_ref[pl.program_id(0)]
+    base = s * chunk
+
+    @pl.when(base < length)
+    def _():
+        for h in range(heads):
+            qb = q_ref[0, h].astype(jnp.bfloat16)        # (Gp, D), pre-scaled
+            kb = k_ref[0, 0, h]                           # (chunk, D) bf16
+            logits = jax.lax.dot_general(
+                qb, kb, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)       # (Gp, chunk)
+
+            pos = base + jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+            logits = jnp.where(pos < length, logits, MASK_VALUE)
+
+            m_prev = m_ref[h][:, 0:1]
+            m_cur = jnp.max(logits, axis=1, keepdims=True)
+            m_new = jnp.maximum(m_prev, m_cur)
+            alpha = jnp.exp(m_prev - m_new)
+            p = jnp.exp(logits - m_new)                   # (Gp, chunk) f32
+            l_new = (alpha * l_ref[h][:, 0:1]
+                     + jnp.sum(p, axis=1, keepdims=True))
+
+            t = jnp.dot(p.astype(jnp.bfloat16), v_ref[0, 0, h],
+                        preferred_element_type=jnp.float32)  # (Gp, D)
+            acc_ref[h] = acc_ref[h] * alpha + t
+            m_ref[h] = jnp.broadcast_to(m_new, m_ref.shape[1:])
+            l_ref[h] = jnp.broadcast_to(l_new, l_ref.shape[1:])
+
+    @pl.when(s == nchunks - 1)
+    def _():
+        out_ref[0] = (acc_ref[...] /
+                      l_ref[...][:, :, 0:1]).astype(out_ref.dtype)
+        m_out_ref[0] = m_ref[...]
+        l_out_ref[0] = l_ref[...]
+
+
+@functools.partial(jax.jit, static_argnames=("sm_scale", "chunk", "interpret"))
+def bf16_decode_attention_stacked(q, k_all, v_all, layer, lengths, *,
+                                  sm_scale=None, chunk: int = 512,
+                                  interpret: bool | None = None):
+    """One decode step of attention against layer `layer` of the stacked
+    DENSE cache k_all/v_all: (L, B, Hkv, S, D) bf16, copy-free.
+    Returns (out, m, l) like int4_decode_attention_stacked."""
+    from rsq_tpu.kernels import default_interpret
+    interpret = default_interpret(interpret)
+    B, Hq, D = q.shape
+    L, _, Hkv, S, _ = k_all.shape
+    G = Hq // Hkv
+    Gp = max(8, G)
+    if sm_scale is None:
+        sm_scale = 1.0 / math.sqrt(D)
+
+    qg = (q.astype(jnp.float32) * sm_scale).reshape(B, Hkv, G, D)
+    if Gp != G:
+        qg = jnp.pad(qg, ((0, 0), (0, 0), (0, Gp - G), (0, 0)))
+
+    ch = pick_chunk(S, chunk)
+    nchunks = S // ch
+
+    grid = (B, nchunks)
+    out, m, l = pl.pallas_call(
+        functools.partial(_decode_kernel_bf16_pref, chunk=ch,
+                          nchunks=nchunks, heads=Hkv),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, Hkv, Gp, D), lambda b, s, idx: (b, 0, 0, 0)),
+                pl.BlockSpec((1, 1, Hkv, ch, D),
+                             lambda b, s, idx: (idx[0], b, 0, s, 0)),
+                pl.BlockSpec((1, 1, Hkv, ch, D),
+                             lambda b, s, idx: (idx[0], b, 0, s, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, Hkv, Gp, D), lambda b, s, idx: (b, 0, 0, 0)),
+                pl.BlockSpec((1, Hkv, Gp, 128),
+                             lambda b, s, idx: (b, 0, 0, 0)),
+                pl.BlockSpec((1, Hkv, Gp, 128),
+                             lambda b, s, idx: (b, 0, 0, 0)),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((Hkv, Gp, 128), jnp.float32),
+                pltpu.VMEM((Hkv, Gp, 128), jnp.float32),
+                pltpu.VMEM((Hkv, Gp, D), jnp.float32),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((B, Hkv, Gp, D), q.dtype),
+            jax.ShapeDtypeStruct((B, Hkv, Gp, 128), jnp.float32),
+            jax.ShapeDtypeStruct((B, Hkv, Gp, 128), jnp.float32),
+        ],
+        interpret=interpret,
+    )(jnp.asarray(layer, jnp.int32).reshape(1), lengths.astype(jnp.int32),
+      qg, k_all, v_all)
+    return (out[:, :, :G, :].reshape(B, Hq, D), m[:, :, :G, 0],
+            l[:, :, :G, 0])
+
+
+def _append_kernel_bf16(idx_ref, kc_ref, vc_ref, nk_ref, nv_ref, ok_ref,
+                        ov_ref):
+    """In-place one-token append into the stacked DENSE cache: each grid
+    step read-modify-writes the 8-sublane window containing this sequence's
+    write row (token-major layout, D in lanes)."""
+    b = pl.program_id(0)
+    row = idx_ref[1 + b] % 8
+
+    def wr(o_ref, c_ref, n_ref):
+        h, _, d = n_ref.shape[1:]
+        sub = jax.lax.broadcasted_iota(jnp.int32, (h, 8, d), 1)
+        o_ref[0, 0] = jnp.where(sub == row, n_ref[0], c_ref[0, 0])
+
+    wr(ok_ref, kc_ref, nk_ref)
+    wr(ov_ref, vc_ref, nv_ref)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def kv_append_stacked_bf16(k, v, layer, pos, nk, nv, *,
+                           interpret: bool | None = None):
+    """Append one token per sequence into layer `layer` of the stacked
+    dense cache, in place (aliased windows).  k/v: (L, B, H, S, D) bf16;
+    pos: (B,) write positions; nk/nv: (B, H, 1, D)."""
+    from rsq_tpu.kernels import default_interpret
+    interpret = default_interpret(interpret)
+    L, B, H, S, D = k.shape
+    scal = jnp.concatenate([jnp.asarray(layer, jnp.int32).reshape(1),
+                            pos.astype(jnp.int32)])
+
+    def cwin():
+        return pl.BlockSpec((1, 1, H, 8, D),
+                            lambda b, idx: (idx[0], b, 0, idx[1 + b] // 8, 0))
+
+    def nblk():
+        return pl.BlockSpec((1, H, 8, D), lambda b, idx: (b, 0, 0, 0))
+
+    def bcast(x):
+        return jnp.broadcast_to(x.astype(k.dtype),
+                                (x.shape[0], x.shape[1], 8, x.shape[3]))
+
+    return pl.pallas_call(
+        _append_kernel_bf16,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B,),
+            in_specs=[cwin(), cwin(), nblk(), nblk()],
+            out_specs=[cwin(), cwin()],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct(k.shape, k.dtype),
+            jax.ShapeDtypeStruct(v.shape, v.dtype),
+        ],
+        input_output_aliases={1: 0, 2: 1},
+        interpret=interpret,
+    )(scal, k, v, bcast(nk), bcast(nv))
+
+
 def _append_kernel(idx_ref, kqc_ref, kpc_ref, vqc_ref, vpc_ref, nkq_ref,
                    nkp_ref, nvq_ref, nvp_ref, okq_ref, okp_ref, ovq_ref,
                    ovp_ref):

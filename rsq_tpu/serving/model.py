@@ -480,10 +480,14 @@ def prefill_stacked(params, cache, input_ids, sc: ServingConfig):
 @partial(jax.jit, static_argnames=("sc",))
 def decode_step_stacked(params, cache, token_ids, sc: ServingConfig):
     """One-compiled-body decode step over stacked layers; sequences may have
-    unequal lengths.  INT4-cache models take the copy-free path (stacked
-    weights/cache indexed INSIDE the Pallas kernels via scalar prefetch);
-    bf16-cache models keep the lax.scan layer loop."""
-    if sc.kv_int4:
+    unequal lengths.  Both INT4- and bf16-cache models take the copy-free
+    path (stacked weights/cache indexed INSIDE the Pallas kernels via
+    scalar prefetch); the lax.scan body below is kept as the reference
+    fallback (RSQ_SCAN_DECODE=1) — scan slices relayout-copy each layer's
+    weights and cache per step (measured 1.26 ms/layer vs the 0.55 ms bf16
+    weight-read floor, r3)."""
+    import os
+    if os.environ.get("RSQ_SCAN_DECODE") != "1":
         return _decode_step_fast(params, cache, token_ids, sc)
     cfg = sc.cfg
     per_layer, length = _cache_slices(cache)
@@ -527,8 +531,9 @@ def _linear_fast(x2, p, i, sc: ServingConfig):
     Plane-major entries ('wp2'/'wpm', params.fuse_for_decode) un-pair with
     free reshapes; legacy adjacent entries ('wp') pay an interleave."""
     from rsq_tpu.kernels.matmul_w4 import (
-        pair_scales, unpair_outputs, w4_affine_matmul_stacked,
-        w4_matmul_paired_stacked, w4a4_matmul_paired_stacked)
+        pair_scales, unpair_outputs, w16_matmul_stacked,
+        w4_affine_matmul_stacked, w4_matmul_paired_stacked,
+        w4a4_matmul_paired_stacked)
     if "wp2" in p:
         scale2 = jnp.concatenate([s[i] for s in p["scales2"]], axis=1)
         if sc.a4:
@@ -569,7 +574,9 @@ def _linear_fast(x2, p, i, sc: ServingConfig):
                                           pair_scales(p["scale"][i]), i)
             y = unpair_outputs(y3)
     else:
-        y = x2 @ p["w"][i].astype(x2.dtype)
+        # dense 16-bit weights: scalar-prefetch stacked kernel (a p["w"][i]
+        # slice feeding a dot relayout-copies the layer's weights per step)
+        y = w16_matmul_stacked(x2, p["w"], i)
     if p.get("b") is not None:
         y = y + p["b"][i].astype(y.dtype)
     return y
@@ -578,7 +585,8 @@ def _linear_fast(x2, p, i, sc: ServingConfig):
 def _decode_step_fast(params, cache, token_ids, sc: ServingConfig):
     cfg = sc.cfg
     ls = params["layers_stacked"]
-    L = cache["kq"].shape[0]
+    kv4 = "kq" in cache
+    L = cache["kq" if kv4 else "k"].shape[0]
     length = cache["length"]
     pos = length
     b = token_ids.shape[0]
@@ -604,38 +612,47 @@ def _decode_step_fast(params, cache, token_ids, sc: ServingConfig):
 
         kb = jnp.swapaxes(k, 1, 2)               # (B, H, 1, D)
         vb = jnp.swapaxes(v.reshape(b, 1, nkv, hd), 1, 2)
-        if sc.kv_hadamard:
-            kb = hadamard_transform_last(kb)
-        kq_t, kp_t = KVK.asym_quant_pack_head(kb)   # token-major
-        vq_t, vp_t = KVK.asym_quant_pack_head(vb)
-
         qh = q.reshape(b, nq, hd)
-        if sc.kv_hadamard:
-            qh = hadamard_transform_last(qh)
         # attend over the OLD cache (kernel only READS it) and fold the new
         # token in analytically: XLA can then apply the appends below in
         # place — a scatter racing a custom-call consumer copies the whole
         # cache per layer (~300 MB, 76 ms of a 90 ms step, measured)
-        out_old, m_old, l_old = KVK.int4_decode_attention_stacked(
-            qh, cache["kq"], cache["kp"], cache["vq"], cache["vp"], i,
-            length)
+        if kv4:
+            if sc.kv_hadamard:
+                kb = hadamard_transform_last(kb)
+                qh = hadamard_transform_last(qh)
+            kq_t, kp_t = KVK.asym_quant_pack_head(kb)   # token-major
+            vq_t, vp_t = KVK.asym_quant_pack_head(vb)
+            out_old, m_old, l_old = KVK.int4_decode_attention_stacked(
+                qh, cache["kq"], cache["kp"], cache["vq"], cache["vp"], i,
+                length)
+            k_self = KVK.unpack_dequant_head(kq_t, kp_t)   # (B, H, 1, D)
+            v_self = KVK.unpack_dequant_head(vq_t, vp_t)
+        else:
+            out_old, m_old, l_old = KVK.bf16_decode_attention_stacked(
+                qh, cache["k"], cache["v"], i, length)
+            k_self = kb.astype(cache["k"].dtype).astype(jnp.float32)
+            v_self = vb.astype(cache["v"].dtype).astype(jnp.float32)
         qs = (qh.astype(jnp.float32) / jnp.sqrt(jnp.float32(hd))
               ).reshape(b, nkv, nq // nkv, hd)
-        k_self = KVK.unpack_dequant_head(kq_t, kp_t)   # (B, H, 1, D)
-        v_self = KVK.unpack_dequant_head(vq_t, vp_t)
         attn = KVK.merge_self_attention(out_old, m_old, l_old, qs,
                                         k_self, v_self)
 
-        kq_, kp_ = KVK.to_lane_major(kq_t, kp_t)
-        vq_, vp_ = KVK.to_lane_major(vq_t, vp_t)
         # ONE aliased Pallas append, NOT a batched scatter (a scatter with a
         # vector of positions makes XLA pick a non-default layout for the
         # stacked cache, and every Pallas consumer then relayout-copies the
         # full 268 MB arrays EVERY layer — 79% of the r2 step) and NOT 4 x B
         # dynamic_update_slices (1.5 ms of dispatch per step, trace r3).
-        cache["kq"], cache["kp"], cache["vq"], cache["vp"] = \
-            KVK.kv_append_stacked(cache["kq"], cache["kp"], cache["vq"],
-                                  cache["vp"], i, pos, kq_, kp_, vq_, vp_)
+        if kv4:
+            kq_, kp_ = KVK.to_lane_major(kq_t, kp_t)
+            vq_, vp_ = KVK.to_lane_major(vq_t, vp_t)
+            cache["kq"], cache["kp"], cache["vq"], cache["vp"] = \
+                KVK.kv_append_stacked(cache["kq"], cache["kp"], cache["vq"],
+                                      cache["vp"], i, pos, kq_, kp_,
+                                      vq_, vp_)
+        else:
+            cache["k"], cache["v"] = KVK.kv_append_stacked_bf16(
+                cache["k"], cache["v"], i, pos, kb, vb)
         attn = attn.reshape(b, 1, nq * hd)
         if sc.online_had:
             attn = head_mixing_hadamard(attn, head_dim=hd)

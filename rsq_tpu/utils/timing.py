@@ -17,11 +17,16 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def chain_time(fn, n1: int = 8, n2: int = 40, repeats: int = 3) -> float:
+def chain_time(fn, n1: int = 64, n2: int = 448, repeats: int = 3) -> float:
     """Seconds per application of `fn`.
 
     fn: seed_scalar -> scalar (must depend on its argument so the chain is
-    serial; fold your computation's output into the returned scalar)."""
+    serial; fold your computation's output into the returned scalar).
+
+    Chain lengths must make the leg DIFFERENCE large against the tunnel's
+    per-dispatch jitter (~1 ms): the old 8/40 defaults produced NEGATIVE
+    times for ~100 us ops (r3 qlinear run); 64/448 gives >=10 ms
+    differences for anything over 30 us."""
     def make(n):
         @jax.jit
         def run(seed):

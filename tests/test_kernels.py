@@ -170,3 +170,16 @@ def test_decode_hint_selects_same_math():
     y_p = MW.w4_matmul(x, packed, scale, decode=False)
     np.testing.assert_allclose(np.asarray(y_d), np.asarray(y_p),
                                rtol=2e-2, atol=2e-2)
+
+
+def test_w16_matmul_stacked_matches_dense():
+    rng = np.random.default_rng(23)
+    L, M, K, N = 3, 8, 128, 256
+    w = jnp.asarray(rng.standard_normal((L, K, N)) * 0.1, jnp.bfloat16)
+    x = jnp.asarray(rng.standard_normal((M, K)) * 0.5, jnp.bfloat16)
+    for i in range(L):
+        y = MW.w16_matmul_stacked(x, w, i)
+        want = x @ w[i]
+        np.testing.assert_allclose(np.asarray(y, np.float32),
+                                   np.asarray(want, np.float32),
+                                   rtol=2e-2, atol=2e-2)

@@ -144,3 +144,51 @@ def test_kv_append_stacked_matches_scatter():
                             (ovq, vq, nvq), (ovp, vp, nvp)):
         want = cache.at[layer, bidx, :, :, pos].set(new[..., 0])
         np.testing.assert_array_equal(np.asarray(out), np.asarray(want))
+
+
+def test_bf16_decode_attention_stacked_matches_reference():
+    """16-bit stacked flash-decode kernel == dense masked-softmax oracle."""
+    rng = np.random.default_rng(12)
+    L, B, Hkv, G, D, S = 3, 2, 2, 4, 128, 384
+    Hq = Hkv * G
+    k = jnp.asarray(rng.standard_normal((L, B, Hkv, S, D)) * 0.3,
+                    jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((L, B, Hkv, S, D)) * 0.3,
+                    jnp.bfloat16)
+    q = jnp.asarray(rng.standard_normal((B, Hq, D)) * 0.3, jnp.bfloat16)
+    lengths = jnp.asarray([200, 384], jnp.int32)
+
+    out, m, l = KV.bf16_decode_attention_stacked(q, k, v, 1, lengths)
+
+    kf = np.asarray(k[1], np.float32)
+    vf = np.asarray(v[1], np.float32)
+    qg = np.asarray(q, np.float32).reshape(B, Hkv, G, D) / np.sqrt(D)
+    logits = np.einsum("bhgd,bhsd->bhgs", qg, kf)
+    mask = np.arange(S)[None, None, None, :] < np.asarray(lengths)[:, None,
+                                                                   None, None]
+    logits = np.where(mask, logits, -1e30)
+    p = np.exp(logits - logits.max(-1, keepdims=True))
+    p = p / p.sum(-1, keepdims=True)
+    want = np.einsum("bhgs,bhsd->bhgd", p, vf).reshape(B, Hq, D)
+    np.testing.assert_allclose(np.asarray(out, np.float32), want,
+                               rtol=2e-2, atol=2e-2)
+    # emitted online-softmax state matches the direct masked stats (the
+    # kernel rounds q to bf16 for the MXU; the oracle is f32)
+    np.testing.assert_allclose(np.asarray(m), logits.max(-1),
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_kv_append_stacked_bf16_matches_scatter():
+    rng = np.random.default_rng(13)
+    L, B, H, S, D = 3, 4, 2, 384, 128
+    k = jnp.asarray(rng.standard_normal((L, B, H, S, D)), jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((L, B, H, S, D)), jnp.bfloat16)
+    pos = jnp.asarray([0, 7, 8, 383], jnp.int32)
+    nk = jnp.asarray(rng.standard_normal((B, H, 1, D)), jnp.bfloat16)
+    nv = jnp.asarray(rng.standard_normal((B, H, 1, D)), jnp.bfloat16)
+    layer = 2
+    ok, ov = KV.kv_append_stacked_bf16(k, v, layer, pos, nk, nv)
+    bidx = jnp.arange(B)
+    for out, cache, new in ((ok, k, nk), (ov, v, nv)):
+        want = cache.at[layer, bidx, :, pos, :].set(new[:, :, 0, :])
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(want))
