@@ -33,8 +33,10 @@ def main(rows=4096):
 
         def t_of(x):
             def step(s):
-                return hadamard_transform(x + s.astype(x.dtype))[0, 0].astype(
-                    jnp.float32)
+                # full-output reduction — a [0,0] probe would let XLA slice
+                # through the transform's matmuls and DCE them
+                y = hadamard_transform(x + s.astype(x.dtype))
+                return jnp.sum(y, dtype=jnp.float32) * 1e-6
             return chain_time(step)
 
         t32 = t_of(x32)

@@ -29,9 +29,11 @@ def main(configs=((1, 2048), (4, 2048), (8, 512))):
 
     cfg = ModelConfig.llama3_8b()
     params = build_int4_params(cfg)
-    nparams = 2 * cfg.num_layers * (
-        cfg.hidden_size * (cfg.q_dim + 2 * cfg.kv_dim + cfg.q_dim)
-        + 3 * cfg.hidden_size * cfg.intermediate_size) // 2
+    # matmul weight count (decoder linears only; lm_head excluded)
+    nweights = cfg.num_layers * (
+        cfg.hidden_size * (cfg.q_dim + 2 * cfg.kv_dim)   # qkv
+        + cfg.q_dim * cfg.hidden_size                    # o
+        + 3 * cfg.hidden_size * cfg.intermediate_size)   # up/gate/down
 
     for batch, plen in configs:
         try:
@@ -62,7 +64,7 @@ def main(configs=((1, 2048), (4, 2048), (8, 512))):
                 t2 = time.perf_counter() - t0
                 dt = (t2 - t1) / (n2 - n1)
                 best = dt if best is None else min(best, dt)
-            flops = 2.0 * batch * plen * (nparams * 2)  # int4 packed: *2 vals
+            flops = 2.0 * batch * plen * nweights
             print(json.dumps({
                 "batch": batch, "prompt_len": plen,
                 "prefill_ms": round(best * 1e3, 2),

@@ -45,7 +45,10 @@ def main(models=("llama3-8b",), batch=128, with_had=True):
             def t_of(f):
                 def step(s):
                     xx = x + s.astype(jnp.bfloat16)
-                    return f(xx)[0, 0].astype(jnp.float32)
+                    # reduce over the FULL output: a [0,0] probe lets XLA
+                    # slice straight through a dot and DCE the matmul
+                    # (measured "-2 us" bf16 legs, r3)
+                    return jnp.sum(f(xx), dtype=jnp.float32) * 1e-6
                 return chain_time(step)
 
             t_bf = t_of(lambda xx: xx @ wbf)

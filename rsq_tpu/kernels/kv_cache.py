@@ -507,14 +507,16 @@ def bf16_decode_attention_stacked(q, k_all, v_all, layer, lengths, *,
 def _append_kernel_bf16(idx_ref, kc_ref, vc_ref, nk_ref, nv_ref, ok_ref,
                         ov_ref):
     """In-place one-token append into the stacked DENSE cache: each grid
-    step read-modify-writes the 8-sublane window containing this sequence's
-    write row (token-major layout, D in lanes)."""
+    step read-modify-writes the 16-sublane window containing this
+    sequence's write row (token-major layout, D in lanes; 16 rows = one
+    full bf16 (16, 128) tile, so the aliased window is tile-aligned —
+    Mosaic cannot address a sub-tile bf16 window at a dynamic offset)."""
     b = pl.program_id(0)
-    row = idx_ref[1 + b] % 8
+    row = idx_ref[1 + b] % 16
 
     def wr(o_ref, c_ref, n_ref):
         h, _, d = n_ref.shape[1:]
-        sub = jax.lax.broadcasted_iota(jnp.int32, (h, 8, d), 1)
+        sub = jax.lax.broadcasted_iota(jnp.int32, (h, 16, d), 1)
         o_ref[0, 0] = jnp.where(sub == row, n_ref[0], c_ref[0, 0])
 
     wr(ok_ref, kc_ref, nk_ref)
@@ -525,24 +527,27 @@ def _append_kernel_bf16(idx_ref, kc_ref, vc_ref, nk_ref, nv_ref, ok_ref,
 def kv_append_stacked_bf16(k, v, layer, pos, nk, nv, *,
                            interpret: bool | None = None):
     """Append one token per sequence into layer `layer` of the stacked
-    dense cache, in place (aliased windows).  k/v: (L, B, H, S, D) bf16;
-    pos: (B,) write positions; nk/nv: (B, H, 1, D)."""
+    dense cache, in place (aliased windows).  k/v: (L, B, H, S, D) bf16
+    with S a multiple of 16 (full-tile windows); pos: (B,) write
+    positions; nk/nv: (B, H, 1, D)."""
     from rsq_tpu.kernels import default_interpret
     interpret = default_interpret(interpret)
     L, B, H, S, D = k.shape
+    assert S % 16 == 0, "bf16 cache max_seq must be a multiple of 16"
     scal = jnp.concatenate([jnp.asarray(layer, jnp.int32).reshape(1),
                             pos.astype(jnp.int32)])
 
     def cwin():
-        return pl.BlockSpec((1, 1, H, 8, D),
-                            lambda b, idx: (idx[0], b, 0, idx[1 + b] // 8, 0))
+        return pl.BlockSpec((1, 1, H, 16, D),
+                            lambda b, idx: (idx[0], b, 0, idx[1 + b] // 16,
+                                            0))
 
     def nblk():
-        return pl.BlockSpec((1, H, 8, D), lambda b, idx: (b, 0, 0, 0))
+        return pl.BlockSpec((1, H, 16, D), lambda b, idx: (b, 0, 0, 0))
 
     def bcast(x):
         return jnp.broadcast_to(x.astype(k.dtype),
-                                (x.shape[0], x.shape[1], 8, x.shape[3]))
+                                (x.shape[0], x.shape[1], 16, x.shape[3]))
 
     return pl.pallas_call(
         _append_kernel_bf16,

@@ -625,6 +625,11 @@ def _w4_kernel_pref(idx_ref, x_ref, wp_ref, scale_ref, out_ref, acc_ref, *,
 
     x = x_ref[...]
     if biased:
+        # float-domain bias removal: dot(x, q+8) - 8*sum(x).  The two terms
+        # round with different accumulation orders, amplifying f32 rounding
+        # by |8*sum(x)| / |y| — worst case ~3.2*sqrt(bk)/sigma_w ~ 1e2 for
+        # one-signed activations, i.e. ~1e-5 relative error: well below the
+        # bf16 output precision (4e-3) this path returns.
         lo8, hi8 = _unpack_block_i8_biased(wp_ref[0])
         lo = lo8.astype(jnp.bfloat16)
         hi = hi8.astype(jnp.bfloat16)
@@ -815,12 +820,18 @@ def w16_matmul_stacked(x, w_all, layer, *, block_m: int | None = None,
     M, K = x.shape
     L, Kw, N = w_all.shape
     assert K == Kw
+    out_dtype = x.dtype
 
-    # bf16 tiles are 2x the packed-int4 bytes: halve the default decode
-    # tile's K so the double-buffered weight window stays ~4 MB
+    # bf16 tiles are 2x the packed-int4 bytes: decode keeps the wide-N
+    # streaming shape but halves K (2 MB double-buffered window); prefill
+    # keeps MXU-balanced tiles
     bm = min(block_m or 128, _round_up(M, 16))
-    bn = _divisor_block(N, block_n or (2048 if M <= 32 else 256))
-    bk = _divisor_block(K, block_k or (512 if M <= 32 else 512))
+    decode = M <= 32
+    bn = _divisor_block(N, block_n or (2048 if decode else 256))
+    bk = _divisor_block(K, block_k or (512 if decode else 512))
+    if w_all.dtype != x.dtype:
+        # mixed-precision operands don't lower cleanly; cast the small side
+        x = x.astype(w_all.dtype)
     pm = (-M) % bm
     if pm:
         x = jnp.pad(x, ((0, pm), (0, 0)))
@@ -841,7 +852,7 @@ def w16_matmul_stacked(x, w_all, layer, *, block_m: int | None = None,
             out_specs=pl.BlockSpec((bm, bn), lambda i, j, k, idx: (i, j)),
             scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
         ),
-        out_shape=jax.ShapeDtypeStruct((Mp, N), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((Mp, N), out_dtype),
         interpret=interpret,
     )(jnp.asarray(layer, jnp.int32).reshape(1), x, w_all)
     return out[:M]

@@ -61,7 +61,9 @@ def serving_linear(x, p, sc: ServingConfig, tp_axis: str | None = None,
     x2 = x.reshape(-1, x.shape[-1])
     if "wpm" in p:
         # plane-major packed layout (params.repack_plane_major, decode prep):
-        # the paired kernel output un-pairs with a free reshape
+        # the paired kernel output un-pairs with a free reshape.  Single-
+        # device only: fuse_for_decode never feeds the TP shard paths.
+        assert tp_axis is None, "plane-major entries are not TP-sharded"
         from rsq_tpu.kernels.matmul_w4 import (w4_affine_matmul,
                                                w4_matmul_paired,
                                                w4a4_matmul_paired)
@@ -483,9 +485,10 @@ def decode_step_stacked(params, cache, token_ids, sc: ServingConfig):
     unequal lengths.  Both INT4- and bf16-cache models take the copy-free
     path (stacked weights/cache indexed INSIDE the Pallas kernels via
     scalar prefetch); the lax.scan body below is kept as the reference
-    fallback (RSQ_SCAN_DECODE=1) — scan slices relayout-copy each layer's
-    weights and cache per step (measured 1.26 ms/layer vs the 0.55 ms bf16
-    weight-read floor, r3)."""
+    fallback (RSQ_SCAN_DECODE=1, read at TRACE time — set it before the
+    first call; cached traces keep their path) — scan slices
+    relayout-copy each layer's weights and cache per step (measured
+    1.26 ms/layer vs the 0.55 ms bf16 weight-read floor, r3)."""
     import os
     if os.environ.get("RSQ_SCAN_DECODE") != "1":
         return _decode_step_fast(params, cache, token_ids, sc)
@@ -563,6 +566,12 @@ def _linear_fast(x2, p, i, sc: ServingConfig):
             y = y3.reshape(y3.shape[0], -1)
     elif "sh" in p:
         y = w4_affine_matmul_stacked(x2, p["wp"], p["sh"], i)
+    elif "codes" in p:
+        # legacy E8P checkpoint layout (pre affine re-encode): grid-gather
+        # dequant via XLA, matching serving_linear's compat path
+        from rsq_tpu.quantize.ldlq import e8p_dequantize
+        w = e8p_dequantize(p["codes"][i], p["e8p_scale"][i])  # (out, in)
+        y = x2 @ w.T.astype(x2.dtype)
     elif "wp" in p:
         if sc.a4:
             y3 = w4a4_matmul_paired_stacked(x2, p["wp"],

@@ -51,8 +51,10 @@ def chain_time(fn, n1: int = 64, n2: int = 448, repeats: int = 3) -> float:
 
 
 def matmul_seconds(x, w) -> float:
-    """Time y = x @ w with a serial perturbation chain."""
+    """Time y = x @ w with a serial perturbation chain.  The chain scalar
+    reduces over the FULL output — a [0,0] probe lets XLA slice through
+    the dot and DCE the matmul (measured as negative legs, r3)."""
     def step(s):
         xx = x + s.astype(x.dtype)
-        return (xx @ w)[0, 0].astype(jnp.float32)
+        return jnp.sum(xx @ w, dtype=jnp.float32) * 1e-6
     return chain_time(step)
