@@ -114,69 +114,6 @@ def pick_chunk(S: int, target: int) -> int:
 # Decode kernel
 # ---------------------------------------------------------------------------
 
-def _decode_kernel(len_ref, q_ref, kq_ref, kp_ref, vq_ref, vp_ref, out_ref,
-                   m_ref, l_ref, acc_ref, *, chunk, nchunks):
-    s = pl.program_id(2)
-
-    @pl.when(s == 0)
-    def _():
-        m_ref[...] = jnp.full_like(m_ref, -jnp.inf)
-        l_ref[...] = jnp.zeros_like(l_ref)
-        acc_ref[...] = jnp.zeros_like(acc_ref)
-
-    length = len_ref[pl.program_id(0)]
-    base = s * chunk
-
-    @pl.when(base < length)
-    def _():
-        q = q_ref[0, 0].astype(jnp.float32)           # (Gp, D)
-        dh = q.shape[-1] // 2
-        q_lo = q[:, :dh].astype(jnp.bfloat16)
-        q_hi = q[:, dh:].astype(jnp.bfloat16)
-        qsum = jnp.sum(q, axis=1, keepdims=True)      # (Gp, 1)
-
-        k_lo, k_hi = _unpack_u4_bf16(kq_ref[0, 0])    # (D/2, chunk)
-        ks = kp_ref[0, 0, 0, :].astype(jnp.float32)   # (chunk,)
-        kz = kp_ref[0, 0, 1, :].astype(jnp.float32)
-
-        raw = (jnp.dot(q_lo, k_lo, preferred_element_type=jnp.float32)
-               + jnp.dot(q_hi, k_hi, preferred_element_type=jnp.float32))
-        logits = raw * ks[None, :] - qsum * kz[None, :]
-
-        pos = base + jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
-        logits = jnp.where(pos < length, logits, MASK_VALUE)
-
-        m_prev = m_ref[...][:, 0:1]                   # (Gp, 1)
-        m_cur = jnp.max(logits, axis=1, keepdims=True)
-        m_new = jnp.maximum(m_prev, m_cur)
-        alpha = jnp.exp(m_prev - m_new)
-        p = jnp.exp(logits - m_new)                   # (Gp, chunk) f32
-        l_new = alpha * l_ref[...][:, 0:1] + jnp.sum(p, axis=1, keepdims=True)
-
-        v_lo, v_hi = _unpack_u4_bf16(vq_ref[0, 0])    # (D/2, chunk)
-        vs = vp_ref[0, 0, 0, :].astype(jnp.float32)
-        vz = vp_ref[0, 0, 1, :].astype(jnp.float32)
-
-        ps = (p * vs[None, :]).astype(jnp.bfloat16)   # fold v scale into p
-        pz = jnp.sum(p * vz[None, :], axis=1, keepdims=True)  # (Gp, 1)
-        t_lo = jax.lax.dot_general(
-            ps, v_lo, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)       # (Gp, D/2)
-        t_hi = jax.lax.dot_general(
-            ps, v_hi, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
-
-        acc_ref[:, :dh] = acc_ref[:, :dh] * alpha + t_lo - pz
-        acc_ref[:, dh:] = acc_ref[:, dh:] * alpha + t_hi - pz
-        m_ref[...] = jnp.broadcast_to(m_new, m_ref.shape)
-        l_ref[...] = jnp.broadcast_to(l_new, l_ref.shape)
-
-    @pl.when(s == nchunks - 1)
-    def _():
-        out_ref[0, 0] = (acc_ref[...] /
-                         l_ref[...][:, 0:1]).astype(out_ref.dtype)
-
-
 @functools.partial(jax.jit, static_argnames=("sm_scale", "chunk", "interpret"))
 def int4_decode_attention(q, kq, kp, vq, vp, lengths, *, sm_scale=None,
                           chunk: int = 512, interpret: bool | None = None):
@@ -186,62 +123,25 @@ def int4_decode_attention(q, kq, kp, vq, vp, lengths, *, sm_scale=None,
     kq/vq: uint8 (B, Hkv, D/2, S) lane-major; kp/vp: f32 (B, Hkv, 2, S).
     lengths: (B,) int32 valid token counts.
     Returns (B, Hq, D) in q.dtype.
+
+    Delegates to the stacked kernel over an L=1 view (a [None] reshape is
+    free): the all-heads-per-grid-cell stacked grid measured 5.5x faster
+    than the per-(B, H, chunk) grid this function previously ran (167 ->
+    30 us at B=8 Hkv=8 S=2048, qattention_bench r3) — narrow per-head
+    blocks spend ~0.65 us of grid overhead per 0.09 us of DMA.
     """
-    from rsq_tpu.kernels import default_interpret
-    interpret = default_interpret(interpret)
-    B, Hq, D = q.shape
-    _, Hkv, _, S = kq.shape
-    G = Hq // Hkv
-    Gp = max(8, G)  # sublane granularity
-    if sm_scale is None:
-        sm_scale = 1.0 / math.sqrt(D)
-
-    qg = (q.astype(jnp.float32) * sm_scale).reshape(B, Hkv, G, D)
-    if Gp != G:
-        qg = jnp.pad(qg, ((0, 0), (0, 0), (0, Gp - G), (0, 0)))
-
-    ch = min(chunk, S)
-    pad_s = (-S) % ch
-    if pad_s:
-        cfg = ((0, 0), (0, 0), (0, 0), (0, pad_s))
-        kq = jnp.pad(kq, cfg)
-        vq = jnp.pad(vq, cfg)
-        kp = jnp.pad(kp, cfg, constant_values=1.0)
-        vp = jnp.pad(vp, cfg, constant_values=1.0)
-    Sp = S + pad_s
-    nchunks = Sp // ch
-
-    grid = (B, Hkv, nchunks)
-    out = pl.pallas_call(
-        functools.partial(_decode_kernel, chunk=ch, nchunks=nchunks),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((B,), lambda b, h, s: (0,),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, Gp, D), lambda b, h, s: (b, h, 0, 0)),
-            pl.BlockSpec((1, 1, D // 2, ch), lambda b, h, s: (b, h, 0, s)),
-            pl.BlockSpec((1, 1, 2, ch), lambda b, h, s: (b, h, 0, s)),
-            pl.BlockSpec((1, 1, D // 2, ch), lambda b, h, s: (b, h, 0, s)),
-            pl.BlockSpec((1, 1, 2, ch), lambda b, h, s: (b, h, 0, s)),
-        ],
-        out_specs=pl.BlockSpec((1, 1, Gp, D), lambda b, h, s: (b, h, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((B, Hkv, Gp, D), q.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((Gp, 128), jnp.float32),
-            pltpu.VMEM((Gp, 128), jnp.float32),
-            pltpu.VMEM((Gp, D), jnp.float32),
-        ],
-        interpret=interpret,
-    )(lengths.astype(jnp.int32), qg, kq, kp, vq, vp)
-    return out[:, :, :G, :].reshape(B, Hq, D)
+    out, _, _ = int4_decode_attention_stacked(
+        q, kq[None], kp[None], vq[None], vp[None], 0, lengths,
+        sm_scale=sm_scale, chunk=chunk, interpret=interpret)
+    return out
 
 
 def _decode_kernel_pref(idx_ref, len_ref, q_ref, kq_ref, kp_ref, vq_ref,
                         vp_ref, out_ref, m_out_ref, l_out_ref, m_ref, l_ref,
                         acc_ref, *, chunk, nchunks, heads):
-    """Scalar-prefetch twin of _decode_kernel: cache blocks come from the
-    FULL stacked (L, B, H, ...) arrays, selected by the prefetched layer
-    index (slicing the cache per layer would copy ~9 MB/layer/step).
+    """Stacked INT4 flash-decode kernel: cache blocks come from the FULL
+    stacked (L, B, H, ...) arrays, selected by the prefetched layer index
+    (slicing the cache per layer would copy ~9 MB/layer/step).
 
     Processes ALL kv heads of one (batch, chunk) cell per grid step — a
     per-(B, H, chunk) grid spends ~0.65 us of grid overhead per 0.09 us of
