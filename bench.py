@@ -134,7 +134,8 @@ def measure_decode(params, sc, batch, n1=8, n2=32, repeats=3):
     import jax.numpy as jnp
     from rsq_tpu.serving import model as S
 
-    cache = synthetic_cache(sc, batch)
+    # leave room for the decode appends (n2 steps past the fill)
+    cache = synthetic_cache(sc, batch, fill_len=min(512, sc.max_seq // 2))
 
     @jax.jit
     def run(params, cache, tok, n):

@@ -50,7 +50,7 @@ def main(configs=((1, 2048), (4, 2048), (8, 512))):
                     cache, acc = carry
                     ids2 = ids + (acc.astype(jnp.int32) % 2)
                     logits, cache = S.prefill_stacked(params, cache, ids2, sc)
-                    return (cache, jnp.max(logits))
+                    return (cache, jnp.max(logits).astype(jnp.float32))
                 return jax.lax.fori_loop(0, n, body, (cache, jnp.float32(0)))[1]
 
             n1, n2 = 2, 6
