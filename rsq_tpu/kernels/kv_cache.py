@@ -136,12 +136,17 @@ def int4_decode_attention(q, kq, kp, vq, vp, lengths, *, sm_scale=None,
     return out
 
 
-def _decode_kernel_pref(idx_ref, len_ref, q_ref, kq_ref, kp_ref, vq_ref,
+def _decode_kernel_pref(idx_ref, q_ref, kq_ref, kp_ref, vq_ref,
                         vp_ref, out_ref, m_out_ref, l_out_ref, m_ref, l_ref,
                         acc_ref, *, chunk, nchunks, heads):
     """Stacked INT4 flash-decode kernel: cache blocks come from the FULL
     stacked (L, B, H, ...) arrays, selected by the prefetched layer index
     (slicing the cache per layer would copy ~9 MB/layer/step).
+    idx_ref (scalar prefetch) = [layer, length_0 .. length_{B-1}]; the
+    lengths also drive the cache BlockSpec index maps, which CLAMP the
+    sequence-chunk index to the last valid chunk — consecutive repeated
+    block indices skip the DMA, so a sequence at fill f only streams
+    ceil(f/chunk) chunks of its max_seq-sized cache.
 
     Processes ALL kv heads of one (batch, chunk) cell per grid step — a
     per-(B, H, chunk) grid spends ~0.65 us of grid overhead per 0.09 us of
@@ -161,7 +166,7 @@ def _decode_kernel_pref(idx_ref, len_ref, q_ref, kq_ref, kp_ref, vq_ref,
         l_ref[...] = jnp.zeros_like(l_ref)
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    length = len_ref[pl.program_id(0)]
+    length = idx_ref[1 + pl.program_id(0)]
     base = s * chunk
 
     @pl.when(base < length)
@@ -243,6 +248,12 @@ def int4_decode_attention_stacked(q, kq_all, kp_all, vq_all, vp_all, layer,
     ch = pick_chunk(S, chunk)
     nchunks = S // ch
 
+    def clamp_s(s, idx, b):
+        # last chunk holding valid tokens for this sequence; repeating it
+        # for the masked tail makes the pipeline skip those DMAs
+        last = jnp.maximum((idx[1 + b] + ch - 1) // ch - 1, 0)
+        return jnp.minimum(s, last)
+
     grid = (B, nchunks)
     out, m, l = pl.pallas_call(
         functools.partial(_decode_kernel_pref, chunk=ch, nchunks=nchunks,
@@ -251,16 +262,19 @@ def int4_decode_attention_stacked(q, kq_all, kp_all, vq_all, vp_all, layer,
             num_scalar_prefetch=1,
             grid=grid,
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec((1, Hkv, Gp, D), lambda b, s, idx: (b, 0, 0, 0)),
                 pl.BlockSpec((1, 1, Hkv, D // 2, ch),
-                             lambda b, s, idx: (idx[0], b, 0, 0, s)),
+                             lambda b, s, idx: (idx[0], b, 0, 0,
+                                                clamp_s(s, idx, b))),
                 pl.BlockSpec((1, 1, Hkv, 2, ch),
-                             lambda b, s, idx: (idx[0], b, 0, 0, s)),
+                             lambda b, s, idx: (idx[0], b, 0, 0,
+                                                clamp_s(s, idx, b))),
                 pl.BlockSpec((1, 1, Hkv, D // 2, ch),
-                             lambda b, s, idx: (idx[0], b, 0, 0, s)),
+                             lambda b, s, idx: (idx[0], b, 0, 0,
+                                                clamp_s(s, idx, b))),
                 pl.BlockSpec((1, 1, Hkv, 2, ch),
-                             lambda b, s, idx: (idx[0], b, 0, 0, s)),
+                             lambda b, s, idx: (idx[0], b, 0, 0,
+                                                clamp_s(s, idx, b))),
             ],
             out_specs=[
                 pl.BlockSpec((1, Hkv, Gp, D), lambda b, s, idx: (b, 0, 0, 0)),
@@ -281,19 +295,22 @@ def int4_decode_attention_stacked(q, kq_all, kp_all, vq_all, vp_all, layer,
             jax.ShapeDtypeStruct((B, Hkv, Gp, 128), jnp.float32),
         ],
         interpret=interpret,
-    )(jnp.asarray(layer, jnp.int32).reshape(1), lengths.astype(jnp.int32),
+    )(jnp.concatenate([jnp.asarray(layer, jnp.int32).reshape(1),
+                       lengths.astype(jnp.int32)]),
       qg, kq_all, kp_all, vq_all, vp_all)
     return (out[:, :, :G, :].reshape(B, Hq, D), m[:, :, :G, 0],
             l[:, :, :G, 0])
 
 
-def _decode_kernel_bf16_pref(idx_ref, len_ref, q_ref, k_ref, v_ref, out_ref,
+def _decode_kernel_bf16_pref(idx_ref, q_ref, k_ref, v_ref, out_ref,
                              m_out_ref, l_out_ref, m_ref, l_ref, acc_ref, *,
                              chunk, nchunks, heads):
     """16-bit twin of _decode_kernel_pref: flash decode over the stacked
     DENSE (L, B, H, S, D) cache, selected by the prefetched layer index —
     the bf16 serving path previously sliced the cache per layer under
     lax.scan, a ~190 MB relayout copy per step at 12 layers (r3 OOM dump).
+    idx_ref = [layer, lengths...]; out-of-range chunks repeat the last
+    valid block index so their DMAs are skipped (see _decode_kernel_pref).
     Emits online-softmax state (m, l) like the int4 kernel so the caller
     merges the current token's self term and the append stays in place."""
     s = pl.program_id(1)
@@ -304,7 +321,7 @@ def _decode_kernel_bf16_pref(idx_ref, len_ref, q_ref, k_ref, v_ref, out_ref,
         l_ref[...] = jnp.zeros_like(l_ref)
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    length = len_ref[pl.program_id(0)]
+    length = idx_ref[1 + pl.program_id(0)]
     base = s * chunk
 
     @pl.when(base < length)
@@ -364,6 +381,10 @@ def bf16_decode_attention_stacked(q, k_all, v_all, layer, lengths, *,
     ch = pick_chunk(S, chunk)
     nchunks = S // ch
 
+    def clamp_s(s, idx, b):
+        last = jnp.maximum((idx[1 + b] + ch - 1) // ch - 1, 0)
+        return jnp.minimum(s, last)
+
     grid = (B, nchunks)
     out, m, l = pl.pallas_call(
         functools.partial(_decode_kernel_bf16_pref, chunk=ch,
@@ -372,12 +393,13 @@ def bf16_decode_attention_stacked(q, k_all, v_all, layer, lengths, *,
             num_scalar_prefetch=1,
             grid=grid,
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec((1, Hkv, Gp, D), lambda b, s, idx: (b, 0, 0, 0)),
                 pl.BlockSpec((1, 1, Hkv, ch, D),
-                             lambda b, s, idx: (idx[0], b, 0, s, 0)),
+                             lambda b, s, idx: (idx[0], b, 0,
+                                                clamp_s(s, idx, b), 0)),
                 pl.BlockSpec((1, 1, Hkv, ch, D),
-                             lambda b, s, idx: (idx[0], b, 0, s, 0)),
+                             lambda b, s, idx: (idx[0], b, 0,
+                                                clamp_s(s, idx, b), 0)),
             ],
             out_specs=[
                 pl.BlockSpec((1, Hkv, Gp, D), lambda b, s, idx: (b, 0, 0, 0)),
@@ -398,7 +420,8 @@ def bf16_decode_attention_stacked(q, k_all, v_all, layer, lengths, *,
             jax.ShapeDtypeStruct((B, Hkv, Gp, 128), jnp.float32),
         ],
         interpret=interpret,
-    )(jnp.asarray(layer, jnp.int32).reshape(1), lengths.astype(jnp.int32),
+    )(jnp.concatenate([jnp.asarray(layer, jnp.int32).reshape(1),
+                       lengths.astype(jnp.int32)]),
       qg, k_all, v_all)
     return (out[:, :, :G, :].reshape(B, Hq, D), m[:, :, :G, 0],
             l[:, :, :G, 0])
