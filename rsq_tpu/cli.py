@@ -118,7 +118,10 @@ def _load_model(name: str, seed: int):
              "gemma2-27b": ModelConfig.gemma2_27b,
              "tiny": ModelConfig.tiny,
              "tiny-opt": ModelConfig.tiny_opt,
-             "tiny-gemma2": ModelConfig.tiny_gemma2}
+             "tiny-gemma2": ModelConfig.tiny_gemma2,
+             "falcon-7b": ModelConfig.falcon_7b,
+             "falcon-40b": ModelConfig.falcon_40b,
+             "tiny-falcon": ModelConfig.tiny_falcon}
     if name in named:
         cfg = named[name]()
         params = family.init_params(cfg, jax.random.PRNGKey(seed),

@@ -36,7 +36,10 @@ class ModelConfig:
     attention_bias: bool = False          # True for Qwen2.5
     tie_word_embeddings: bool = False
     max_position_embeddings: int = 8192
-    family: str = "llama"                 # llama | qwen2 | mistral | opt | gemma2
+    family: str = "llama"                 # llama | qwen2 | mistral | opt | gemma2 | falcon
+    # Falcon "new decoder architecture" (40B/180B): separate parallel
+    # ln_attn / ln_mlp; False = falcon-7b's single shared LayerNorm
+    falcon_two_norms: bool = False
     # Gemma-2 (google/gemma-2-*) specifics; None everywhere else
     query_pre_attn_scalar: float | None = None   # attn scale = this**-0.5
     attn_logit_softcap: float | None = None      # tanh(x/c)*c on attn logits
@@ -159,6 +162,38 @@ class ModelConfig:
             num_attention_heads=num_attention_heads,
             num_key_value_heads=num_attention_heads, attention_bias=True,
             max_position_embeddings=512, family="opt", **kw)
+
+    @staticmethod
+    def falcon_7b() -> "ModelConfig":
+        """tiiuae/falcon-7b: MQA (1 kv head), shared parallel LayerNorm."""
+        return ModelConfig(
+            vocab_size=65024, hidden_size=4544, intermediate_size=18176,
+            num_layers=32, num_attention_heads=71, num_key_value_heads=1,
+            head_dim=64, rope_theta=10000.0, rms_norm_eps=1e-5,
+            tie_word_embeddings=True, max_position_embeddings=2048,
+            family="falcon")
+
+    @staticmethod
+    def falcon_40b() -> "ModelConfig":
+        """tiiuae/falcon-40b: GQA (8 kv heads), two parallel norms."""
+        return ModelConfig(
+            vocab_size=65024, hidden_size=8192, intermediate_size=32768,
+            num_layers=60, num_attention_heads=128, num_key_value_heads=8,
+            head_dim=64, rope_theta=10000.0, rms_norm_eps=1e-5,
+            tie_word_embeddings=True, max_position_embeddings=2048,
+            family="falcon", falcon_two_norms=True)
+
+    @staticmethod
+    def tiny_falcon(vocab_size=256, hidden_size=64, intermediate_size=112,
+                    num_layers=2, num_attention_heads=4,
+                    num_key_value_heads=1, **kw) -> "ModelConfig":
+        return ModelConfig(
+            vocab_size=vocab_size, hidden_size=hidden_size,
+            intermediate_size=intermediate_size, num_layers=num_layers,
+            num_attention_heads=num_attention_heads,
+            num_key_value_heads=num_key_value_heads,
+            tie_word_embeddings=True, max_position_embeddings=512,
+            family="falcon", **kw)
 
     @staticmethod
     def gemma2_9b() -> "ModelConfig":

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from rsq_tpu.models import gemma2, llama, opt
+from rsq_tpu.models import falcon, gemma2, llama, opt
 from rsq_tpu.models.config import ModelConfig
 
 
@@ -22,6 +22,8 @@ def module_for(cfg: ModelConfig):
         return opt
     if cfg.family == "gemma2":
         return gemma2
+    if cfg.family == "falcon":
+        return falcon
     return llama
 
 
@@ -30,6 +32,8 @@ def groups_for(cfg: ModelConfig) -> tuple[tuple[str, ...], ...]:
     (gptq_utils.py:480-485; OPT: qkv / out / fc1 / fc2)."""
     if cfg.family == "opt":
         return opt.GROUPS
+    if cfg.family == "falcon":
+        return falcon.GROUPS
     return (("q", "k", "v"), ("o",), ("up", "gate"), ("down",))
 
 
@@ -49,7 +53,7 @@ def embed(params, input_ids, cfg: ModelConfig):
         return opt.embed(params, input_ids, cfg)
     if cfg.family == "gemma2":
         return gemma2.embed(params, input_ids, cfg)
-    return llama.embed(params, input_ids)
+    return llama.embed(params, input_ids)  # falcon shares llama's embed
 
 
 def layer_forward(lp, x, cos, sin, cfg: ModelConfig, policy, mask=None,
@@ -63,6 +67,9 @@ def group_input(lp, x, cos, sin, cfg: ModelConfig, policy, group, mask=None,
     if cfg.family == "opt":
         return opt.group_input(lp, x, cos, sin, cfg, policy, group, mask,
                                layer=layer)
+    if cfg.family == "falcon":
+        return falcon.group_input(lp, x, cos, sin, cfg, policy, group, mask,
+                                  layer=layer)
     if cfg.family == "gemma2":
         return gemma2.group_input(lp, x, cos, sin, cfg, policy, group, mask,
                                   layer=layer)

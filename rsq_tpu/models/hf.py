@@ -29,8 +29,31 @@ _LAYER_KEYS = {
 def config_from_hf(hf_config) -> ModelConfig:
     """Map a transformers config (Llama/Qwen2/Mistral/OPT) onto ModelConfig."""
     family = {"llama": "llama", "qwen2": "qwen2", "mistral": "mistral",
-              "opt": "opt", "gemma2": "gemma2"}.get(
+              "opt": "opt", "gemma2": "gemma2", "falcon": "falcon"}.get(
                   hf_config.model_type, "llama")
+    if family == "falcon":
+        assert getattr(hf_config, "parallel_attn", True), \
+            "sequential-residual Falcon variants (falcon-rw) not supported"
+        new_arch = getattr(hf_config, "new_decoder_architecture", False)
+        nq = hf_config.num_attention_heads
+        nkv = (hf_config.num_kv_heads if new_arch
+               else (1 if hf_config.multi_query else nq))
+        return ModelConfig(
+            vocab_size=hf_config.vocab_size,
+            hidden_size=hf_config.hidden_size,
+            intermediate_size=getattr(hf_config, "ffn_hidden_size",
+                                      4 * hf_config.hidden_size),
+            num_layers=hf_config.num_hidden_layers,
+            num_attention_heads=nq,
+            num_key_value_heads=nkv,
+            head_dim=hf_config.hidden_size // nq,
+            rope_theta=getattr(hf_config, "rope_theta", 10000.0),
+            rms_norm_eps=hf_config.layer_norm_epsilon,
+            tie_word_embeddings=getattr(hf_config, "tie_word_embeddings",
+                                        True),
+            max_position_embeddings=getattr(
+                hf_config, "max_position_embeddings", 2048),
+            family="falcon", falcon_two_norms=new_arch)
     if family == "gemma2":
         return ModelConfig(
             vocab_size=hf_config.vocab_size,
@@ -111,6 +134,8 @@ def params_from_state_dict(sd, cfg: ModelConfig, dtype=np.float32):
 
     if cfg.family == "opt":
         return _opt_params_from_state_dict(sd, cfg, get, lin)
+    if cfg.family == "falcon":
+        return _falcon_params_from_state_dict(sd, cfg, get)
     if cfg.family == "gemma2":
         return _gemma2_params_from_state_dict(sd, cfg, get, lin)
 
@@ -171,6 +196,75 @@ def _opt_params_from_state_dict(sd, cfg, get, lin):
         "embed_pos": jnp.asarray(get("model.decoder.embed_positions.weight")),
         "layers": layers,
         "final_norm": norm("model.decoder.final_layer_norm"),
+        "lm_head": jnp.asarray(lm_head),
+    }
+
+
+def _split_falcon_qkv(W, cfg):
+    """Split HF Falcon's fused query_key_value weight (torch (out, in)
+    layout) into q/k/v in rsq_tpu's (in, out) layout.
+
+    HF layouts (modeling_falcon._split_heads):
+      - old arch, multi_query: rows = [nq q-heads..., k, v];
+      - old arch, MHA: rows = per-head [q, k, v] interleaved;
+      - new arch: rows = per kv-group [nq/nkv q-heads..., k, v]."""
+    hd, nq, nkv = cfg.head_dim_, cfg.num_attention_heads, cfg.num_key_value_heads
+    d = W.shape[1]
+    if cfg.falcon_two_norms:  # new decoder architecture: grouped layout
+        Wg = W.reshape(nkv, nq // nkv + 2, hd, d)
+        q = Wg[:, :-2].reshape(nq * hd, d)
+        k = Wg[:, -2].reshape(nkv * hd, d)
+        v = Wg[:, -1].reshape(nkv * hd, d)
+    elif nkv == 1:  # multi_query: all q heads first, then one k, one v
+        q, k, v = W[:nq * hd], W[nq * hd:(nq + 1) * hd], W[(nq + 1) * hd:]
+    else:  # MHA: (q, k, v) interleaved per head
+        Wg = W.reshape(nq, 3, hd, d)
+        q = Wg[:, 0].reshape(nq * hd, d)
+        k = Wg[:, 1].reshape(nq * hd, d)
+        v = Wg[:, 2].reshape(nq * hd, d)
+    return q.T, k.T, v.T
+
+
+def _falcon_params_from_state_dict(sd, cfg, get):
+    import jax.numpy as jnp
+
+    def norm(prefix):
+        return {"w": jnp.asarray(get(prefix + ".weight")),
+                "b": jnp.asarray(get(prefix + ".bias"))}
+
+    def lin_nb(name):  # falcon linears carry no bias
+        return {"w": jnp.asarray(get(name + ".weight").T), "b": None}
+
+    layers = []
+    for i in range(cfg.num_layers):
+        base = f"transformer.h.{i}."
+        q, k, v = _split_falcon_qkv(
+            get(base + "self_attention.query_key_value.weight"), cfg)
+        lp = {
+            "q": {"w": jnp.asarray(q), "b": None},
+            "k": {"w": jnp.asarray(k), "b": None},
+            "v": {"w": jnp.asarray(v), "b": None},
+            "o": lin_nb(base + "self_attention.dense"),
+            "fc1": lin_nb(base + "mlp.dense_h_to_4h"),
+            "fc2": lin_nb(base + "mlp.dense_4h_to_h"),
+        }
+        if cfg.falcon_two_norms:
+            lp["input_norm"] = norm(base + "ln_attn")
+            lp["post_norm"] = norm(base + "ln_mlp")
+        else:
+            lp["input_norm"] = norm(base + "input_layernorm")
+            lp["post_norm"] = None
+        layers.append(lp)
+
+    embed = get("transformer.word_embeddings.weight")
+    if cfg.tie_word_embeddings or "lm_head.weight" not in sd:
+        lm_head = embed.T.copy()
+    else:
+        lm_head = get("lm_head.weight").T
+    return {
+        "embed": jnp.asarray(embed),
+        "layers": layers,
+        "final_norm": norm("transformer.ln_f"),
         "lm_head": jnp.asarray(lm_head),
     }
 

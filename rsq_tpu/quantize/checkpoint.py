@@ -28,7 +28,8 @@ _OPT_LAYER_LINEARS = ("q", "k", "v", "o", "fc1", "fc2")
 
 
 def _linear_names(cfg: ModelConfig):
-    return _OPT_LAYER_LINEARS if cfg.family == "opt" else _LAYER_LINEARS
+    return (_OPT_LAYER_LINEARS if cfg.family in ("opt", "falcon")
+            else _LAYER_LINEARS)
 
 
 def _put_norm(arrays, key, norm):

@@ -96,10 +96,23 @@ def fuse_norms(params, cfg: ModelConfig):
         out["embed_pos"] = _like(P - P.mean(axis=-1, keepdims=True),
                                  params["embed_pos"])
 
-    opt_family = cfg.family == "opt"
+    ln_family = cfg.family in ("opt", "falcon")
     for lp in params["layers"]:
         nlp = {k: (dict(v) if isinstance(v, dict) else v) for k, v in lp.items()}
-        if opt_family:
+        if cfg.family == "falcon":
+            # parallel topology: input_norm feeds q/k/v (and fc1 when the
+            # MLP shares it, falcon-7b); ln_mlp (post_norm) feeds fc1 on the
+            # 40B-style two-norm variant.  Both sub-block outputs add into
+            # the residual, so o AND fc2 get the mean baked out.
+            attn_side = [nlp["q"], nlp["k"], nlp["v"]]
+            if lp.get("post_norm") is None:
+                attn_side.append(nlp["fc1"])
+            else:
+                _fuse_affine_ln_into([nlp["fc1"]], lp["post_norm"])
+            _fuse_affine_ln_into(attn_side, lp["input_norm"])
+            _bake_mean_out(nlp["o"])
+            _bake_mean_out(nlp["fc2"])
+        elif ln_family:
             _fuse_affine_ln_into([nlp["q"], nlp["k"], nlp["v"]],
                                  lp["input_norm"])
             _fuse_affine_ln_into([nlp["fc1"]], lp["post_norm"])
@@ -112,7 +125,7 @@ def fuse_norms(params, cfg: ModelConfig):
         nlp["post_norm"] = None
         out["layers"].append(nlp)
 
-    if opt_family:
+    if ln_family:
         hp = {"w": params["lm_head"],
               "b": params.get("lm_head_bias")}
         _fuse_affine_ln_into([hp], params["final_norm"])
@@ -146,6 +159,20 @@ def _had_in(p):
     p["w"] = _like(matmul_hadU_np(W.T).T, p["w"])
 
 
+def _had_in_per_head(p, head_dim: int):
+    """Per-head exact Hadamard on the INPUT dim (o_proj, Falcon pairing):
+    W'[h] = Ĥ W[h] for each head_dim row block.  Pairs with
+    _had_out_per_head on v: Ĥ is symmetric for pow2 head dims, so
+    attn·blockdiag(Ĥ) · blockdiag(Ĥ)·W_o = attn·W_o with NO online op —
+    required for Falcon, whose 71-head q_dim admits no head-mixing
+    Hadamard (71 is odd; no H_71 exists)."""
+    W = _np64(p["w"])
+    in_d, out_d = W.shape
+    Wr = W.reshape(in_d // head_dim, head_dim, out_d)
+    p["w"] = _like(matmul_hadU_np(Wr.swapaxes(-1, -2)).swapaxes(-1, -2)
+                   .reshape(in_d, out_d), p["w"])
+
+
 def _had_out_per_head(p, head_dim: int):
     """Per-head exact Hadamard on the output dim (v_proj; rotate_ov_proj)."""
     W = _np64(p["w"])
@@ -175,7 +202,7 @@ def rotate(params, cfg: ModelConfig, Q: np.ndarray):
     out["lm_head"] = _like(Q.T @ _np64(params["lm_head"]), params["lm_head"])
 
     hd = cfg.head_dim_
-    mlp_in, mlp_out = (("fc1",), "fc2") if cfg.family == "opt" \
+    mlp_in, mlp_out = (("fc1",), "fc2") if cfg.family in ("opt", "falcon") \
         else (("up", "gate"), "down")
     for lp in out["layers"]:
         _rot_in(lp["q"], Q)
@@ -187,7 +214,10 @@ def rotate(params, cfg: ModelConfig, Q: np.ndarray):
         _rot_out(lp[mlp_out], Q)
         _had_in(lp[mlp_out])            # pairs with online full Hadamard
         _had_out_per_head(lp["v"], hd)  # pairs with ...
-        _had_in(lp["o"])                # ... the online head-mixing Hadamard
+        if cfg.family == "falcon":      # ... fully-offline per-head pair
+            _had_in_per_head(lp["o"], hd)
+        else:                           # ... the online head-mixing Hadamard
+            _had_in(lp["o"])
     return out
 
 
@@ -197,11 +227,14 @@ def post_rotate_after_load(params, cfg: ModelConfig):
     post_process_model_after_load)."""
     out = _copy_layers(params)
     hd = cfg.head_dim_
-    mlp_out = "fc2" if cfg.family == "opt" else "down"
+    mlp_out = "fc2" if cfg.family in ("opt", "falcon") else "down"
     for lp in out["layers"]:
         _had_in(lp[mlp_out])
         _had_out_per_head(lp["v"], hd)
-        _had_in(lp["o"])
+        if cfg.family == "falcon":
+            _had_in_per_head(lp["o"], hd)
+        else:
+            _had_in(lp["o"])
     return out
 
 

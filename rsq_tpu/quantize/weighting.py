@@ -237,6 +237,15 @@ def _attention_received(lp, x, cfg: ModelConfig, policy: QuantPolicy,
         h = layer_norm(x[None], lp.get("input_norm"), cfg.rms_norm_eps)
         q = M.linear(h, lp["q"]).reshape(1, L, nq, hd)[0]
         k = M.linear(h, lp["k"]).reshape(1, L, nkv, hd)[0]
+    elif cfg.family == "falcon":  # LayerNorm + rotary
+        from rsq_tpu.models.opt import layer_norm
+        h = layer_norm(x[None], lp.get("input_norm"), cfg.rms_norm_eps)
+        cos, sin = M.rope_tables(cfg, jnp.arange(L))
+        q = M.linear(h, lp["q"]).reshape(1, L, nq, hd)
+        k = M.linear(h, lp["k"]).reshape(1, L, nkv, hd)
+        q = M.apply_rope(q, cos, sin)[0]
+        k = M.apply_rope(k, cos, sin)[0]
+        k = M.repeat_kv(k[None], nq // nkv)[0]
     else:
         if cfg.family == "gemma2":
             from rsq_tpu.models.gemma2 import rms_norm as gemma_norm
