@@ -1,0 +1,119 @@
+"""Pipeline parallelism: GPipe-style SPMD pipeline over a `pp` mesh axis.
+
+The reference's only multi-device story is sequential layer placement for
+eval (fake_quant/utils.py:319-339 distribute_model); quantization itself
+streams layers through one device.  rsq_tpu keeps the layer-streamed host
+loop for quantization (SURVEY §7.4) and adds a REAL pipeline for full-model
+forward/eval: layers are stacked and sharded over the `pp` axis (each
+device holds L/pp layers), microbatches flow through the ring with one
+`ppermute` per step, and the whole schedule is a single `lax.scan` inside
+one shard_map — the TPU-native formulation (static trip count, XLA overlaps
+the neighbor copy with the next microbatch's compute; the scaling-book
+"spmd pipeline" recipe).
+
+Schedule: T = n_micro + pp - 1 steps. Stage 0 injects microbatch t at step
+t; stage s computes microbatch t - s at step t; the last stage emits
+microbatch t - (pp-1).  Bubble fraction = (pp-1)/T, amortized by n_micro.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from rsq_tpu.models import llama as M
+from rsq_tpu.models.config import ModelConfig
+from rsq_tpu.models.policy import QuantPolicy
+
+
+def stack_layers(layers: list[dict]):
+    """List of per-layer param dicts -> one pytree with a leading layer
+    axis (None-valued norms must be None in EVERY layer to stack)."""
+    def stack(*leaves):
+        return None if leaves[0] is None else jnp.stack(leaves)
+    return jax.tree_util.tree_map(stack, *layers, is_leaf=lambda x: x is None)
+
+
+def make_pp_mesh(n_devices: int | None = None) -> Mesh:
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    return Mesh(np.array(devs[:n]), ("pp",))
+
+
+def shard_stacked_layers(stacked, mesh: Mesh, axis: str = "pp"):
+    """Place the stacked layer pytree with the layer axis split over pp —
+    each device holds only its own stage's weights (the memory win that
+    lets models larger than one chip's HBM run)."""
+    def put(x):
+        if x is None:
+            return None
+        spec = P(axis) if hasattr(x, "ndim") and x.ndim >= 1 else P()
+        return jax.device_put(x, NamedSharding(mesh, spec))
+    return jax.tree_util.tree_map(put, stacked, is_leaf=lambda x: x is None)
+
+
+def make_pp_forward(cfg: ModelConfig, policy: QuantPolicy, mesh: Mesh,
+                    n_micro: int, axis: str = "pp"):
+    """Jitted pipeline-parallel full-model forward.
+
+    Returns fn(params, stacked_layers, input_ids) -> logits where
+    `stacked_layers` is stack_layers(params["layers"]) sharded over `axis`
+    (shard_stacked_layers) and input_ids is (B, s) with B divisible by
+    n_micro. Embedding/head weights are replicated (they are a small
+    fraction of an L-layer model).
+    """
+    pp = mesh.shape[axis]
+    assert cfg.num_layers % pp == 0, (cfg.num_layers, pp)
+
+    def stage(layers_local, x, cos, sin):
+        def body(h, lp):
+            return M.layer_forward(lp, h, cos, sin, cfg, policy), None
+        x, _ = jax.lax.scan(body, x, layers_local)
+        return x
+
+    def pipeline_local(layers_local, xs, cos, sin):
+        # xs: (n_micro, mb, s, d) replicated; returns (n_micro, mb, s, d)
+        idx = jax.lax.axis_index(axis)
+        n_steps = n_micro + pp - 1
+        state = jax.lax.pvary(jnp.zeros_like(xs[0]), (axis,))
+        outputs = jax.lax.pvary(jnp.zeros_like(xs), (axis,))
+        perm = [(r, (r + 1) % pp) for r in range(pp)]
+
+        def step(carry, t):
+            state, outputs = carry
+            # stage 0 injects microbatch t (clipped garbage during drain)
+            inj = xs[jnp.clip(t, 0, n_micro - 1)]
+            x_in = jnp.where(idx == 0, inj, state)
+            out = stage(layers_local, x_in, cos, sin)
+            # last stage emits microbatch t-(pp-1) (valid once t >= pp-1)
+            mo = t - (pp - 1)
+            emit = (idx == pp - 1) & (mo >= 0)
+            moc = jnp.clip(mo, 0, n_micro - 1)
+            outputs = jnp.where(
+                emit, outputs.at[moc].set(out.astype(outputs.dtype)),
+                outputs)
+            state = jax.lax.ppermute(out, axis, perm)
+            return (state, outputs), None
+
+        (state, outputs), _ = jax.lax.scan(
+            step, (state, outputs), jnp.arange(n_steps))
+        # outputs are nonzero only on the last stage; one psum replicates
+        return jax.lax.psum(outputs, axis)
+
+    sharded = jax.shard_map(
+        pipeline_local, mesh=mesh,
+        in_specs=(P(axis), P(), P(), P()), out_specs=P())
+
+    @jax.jit
+    def forward(params, stacked_layers, input_ids):
+        B, s = input_ids.shape
+        assert B % n_micro == 0, (B, n_micro)
+        mb = B // n_micro
+        x = M.embed(params, input_ids).reshape(n_micro, mb, s, -1)
+        cos, sin = M.rope_tables(cfg, jnp.arange(s))
+        x = sharded(stacked_layers, x, cos, sin).reshape(B, s, -1)
+        return M.head(params, x, cfg)
+
+    return forward
