@@ -171,47 +171,72 @@ def _decode_kernel_pref(idx_ref, q_ref, kq_ref, kp_ref, vq_ref,
 
     @pl.when(base < length)
     def _():
+        H = heads
+        Gp = q_ref.shape[2]
+        D2, ch = kq_ref.shape[3], kq_ref.shape[4]
+        D = 2 * D2
+
+        q_all = q_ref[0].astype(jnp.float32)              # (H, Gp, D)
+        qsum = jnp.sum(q_all, axis=2, keepdims=True)      # (H, Gp, 1)
+
+        # ---- merged QK dot: ONE (H*Gp, H*D) @ (H*D, ch) block-diagonal
+        # matmul instead of H separate (Gp, D) @ (D, ch) dots.  Same MXU
+        # flop count (off-diagonal blocks are zero but still multiplied),
+        # but M-utilization goes Gp/128 -> H*Gp/128 (6% -> 50% at decode
+        # shapes) and one dot amortizes the MXU pipeline latency that
+        # dominates small-tile matmuls.  The stacked unpack is free:
+        # (H, D/2, ch) reshapes row-major to the (H*D, ch) contraction
+        # layout the dot needs.
+        qflat = q_all.reshape(H * Gp, D).astype(jnp.bfloat16)
+        qtile = jnp.tile(qflat, (1, H))                   # (H*Gp, H*D)
+        col_h = jax.lax.broadcasted_iota(
+            jnp.int32, (H * Gp, H * D), 1) // D
+        row_h = jax.lax.broadcasted_iota(
+            jnp.int32, (H * Gp, H * D), 0) // Gp
+        qbd = jnp.where(col_h == row_h, qtile, 0)
+
+        k_lo, k_hi = _unpack_u4_bf16(
+            kq_ref[0, 0].reshape(H * D2, ch))             # (H*D/2, ch)
+        kf = (jnp.concatenate(
+            [k_lo.reshape(H, D2, ch), k_hi.reshape(H, D2, ch)], axis=1)
+            .reshape(H * D, ch))                          # head-major rows
+        raw = jnp.dot(qbd, kf, preferred_element_type=jnp.float32)
+
+        ks = kp_ref[0, 0, :, 0:1, :].astype(jnp.float32)  # (H, 1, ch)
+        kz = kp_ref[0, 0, :, 1:2, :].astype(jnp.float32)
+        logits = raw.reshape(H, Gp, ch) * ks - qsum * kz
+
+        pos = base + jax.lax.broadcasted_iota(jnp.int32, logits.shape, 2)
+        logits = jnp.where(pos < length, logits, MASK_VALUE)
+
+        m_prev = m_ref[...][:, :, 0:1]                    # (H, Gp, 1)
+        m_cur = jnp.max(logits, axis=2, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(logits - m_new)                       # (H, Gp, ch) f32
+        l_new = alpha * l_ref[...][:, :, 0:1] + jnp.sum(p, axis=2,
+                                                        keepdims=True)
+
+        v_lo, v_hi = _unpack_u4_bf16(
+            vq_ref[0, 0].reshape(H * D2, ch))
+        vs = vp_ref[0, 0, :, 0:1, :].astype(jnp.float32)  # (H, 1, ch)
+        vz = vp_ref[0, 0, :, 1:2, :].astype(jnp.float32)
+
+        ps = (p * vs).astype(jnp.bfloat16)                # (H, Gp, ch)
+        pz = jnp.sum(p * vz, axis=2, keepdims=True)       # (H, Gp, 1)
+        ts = []
         for h in range(heads):
-            q = q_ref[0, h].astype(jnp.float32)           # (Gp, D)
-            qb = q.astype(jnp.bfloat16)
-            qsum = jnp.sum(q, axis=1, keepdims=True)      # (Gp, 1)
+            vf = jnp.concatenate(
+                [v_lo[h * D2:(h + 1) * D2], v_hi[h * D2:(h + 1) * D2]],
+                axis=0)                                   # (D, ch)
+            ts.append(jax.lax.dot_general(
+                ps[h], vf, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32))      # (Gp, D)
+        t = jnp.stack(ts)
 
-            k_lo, k_hi = _unpack_u4_bf16(kq_ref[0, 0, h])  # (D/2, chunk)
-            ks = kp_ref[0, 0, h, 0, :].astype(jnp.float32)   # (chunk,)
-            kz = kp_ref[0, 0, h, 1, :].astype(jnp.float32)
-
-            # one D-wide dot per side: q @ [k_lo; k_hi] == q_lo@k_lo +
-            # q_hi@k_hi — halves the MXU ops vs per-plane dots (the kernel
-            # is MXU-latency bound at decode tile sizes)
-            kf = jnp.concatenate([k_lo, k_hi], axis=0)    # (D, chunk)
-            raw = jnp.dot(qb, kf, preferred_element_type=jnp.float32)
-            logits = raw * ks[None, :] - qsum * kz[None, :]
-
-            pos = base + jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
-            logits = jnp.where(pos < length, logits, MASK_VALUE)
-
-            m_prev = m_ref[h][:, 0:1]                     # (Gp, 1)
-            m_cur = jnp.max(logits, axis=1, keepdims=True)
-            m_new = jnp.maximum(m_prev, m_cur)
-            alpha = jnp.exp(m_prev - m_new)
-            p = jnp.exp(logits - m_new)                   # (Gp, chunk) f32
-            l_new = (alpha * l_ref[h][:, 0:1]
-                     + jnp.sum(p, axis=1, keepdims=True))
-
-            v_lo, v_hi = _unpack_u4_bf16(vq_ref[0, 0, h])  # (D/2, chunk)
-            vs = vp_ref[0, 0, h, 0, :].astype(jnp.float32)
-            vz = vp_ref[0, 0, h, 1, :].astype(jnp.float32)
-
-            ps = (p * vs[None, :]).astype(jnp.bfloat16)
-            pz = jnp.sum(p * vz[None, :], axis=1, keepdims=True)
-            vf = jnp.concatenate([v_lo, v_hi], axis=0)    # (D, chunk)
-            t = jax.lax.dot_general(
-                ps, vf, dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)       # (Gp, D)
-
-            acc_ref[h] = acc_ref[h] * alpha + t - pz
-            m_ref[h] = jnp.broadcast_to(m_new, m_ref.shape[1:])
-            l_ref[h] = jnp.broadcast_to(l_new, l_ref.shape[1:])
+        acc_ref[...] = acc_ref[...] * alpha + t - pz
+        m_ref[...] = jnp.broadcast_to(m_new, m_ref.shape)
+        l_ref[...] = jnp.broadcast_to(l_new, l_ref.shape)
 
     @pl.when(s == nchunks - 1)
     def _():

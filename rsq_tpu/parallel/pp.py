@@ -26,6 +26,12 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from rsq_tpu.models import llama as M
 from rsq_tpu.models.config import ModelConfig
 from rsq_tpu.models.policy import QuantPolicy
+def _pvary(x, axes):
+    """pvary with fallback: renamed to pcast(to='varying') in newer jax."""
+    try:
+        return jax.lax.pcast(x, to="varying", axes=axes)
+    except (AttributeError, TypeError):
+        return jax.lax.pvary(x, axes)
 
 
 def stack_layers(layers: list[dict]):
@@ -77,8 +83,8 @@ def make_pp_forward(cfg: ModelConfig, policy: QuantPolicy, mesh: Mesh,
         # xs: (n_micro, mb, s, d) replicated; returns (n_micro, mb, s, d)
         idx = jax.lax.axis_index(axis)
         n_steps = n_micro + pp - 1
-        state = jax.lax.pvary(jnp.zeros_like(xs[0]), (axis,))
-        outputs = jax.lax.pvary(jnp.zeros_like(xs), (axis,))
+        state = _pvary(jnp.zeros_like(xs[0]), (axis,))
+        outputs = _pvary(jnp.zeros_like(xs), (axis,))
         perm = [(r, (r + 1) % pp) for r in range(pp)]
 
         def step(carry, t):

@@ -39,6 +39,12 @@ from jax.sharding import Mesh, PartitionSpec as P
 from rsq_tpu.models import llama as M
 from rsq_tpu.models.config import ModelConfig
 from rsq_tpu.models.policy import QuantPolicy
+def _pvary(x, axes):
+    """pvary with fallback: renamed to pcast(to='varying') in newer jax."""
+    try:
+        return jax.lax.pcast(x, to="varying", axes=axes)
+    except (AttributeError, TypeError):
+        return jax.lax.pvary(x, axes)
 
 
 def ring_attention(q, k, v, axis_name: str = "sp"):
@@ -85,10 +91,10 @@ def ring_attention(q, k, v, axis_name: str = "sp"):
     # pvary: the accumulators are built from constants but the scan carries
     # sp-varying data through them — mark them device-varying up front so
     # shard_map's varying-axis check accepts the carry
-    m0 = jax.lax.pvary(jnp.full((b, hkv, g, sl), -jnp.inf, jnp.float32),
+    m0 = _pvary(jnp.full((b, hkv, g, sl), -jnp.inf, jnp.float32),
                        (axis_name,))
-    l0 = jax.lax.pvary(jnp.zeros((b, hkv, g, sl), jnp.float32), (axis_name,))
-    a0 = jax.lax.pvary(jnp.zeros((b, hkv, g, sl, d), jnp.float32),
+    l0 = _pvary(jnp.zeros((b, hkv, g, sl), jnp.float32), (axis_name,))
+    a0 = _pvary(jnp.zeros((b, hkv, g, sl, d), jnp.float32),
                        (axis_name,))
     (m1, l1, a1, _, _), _ = jax.lax.scan(
         step, (m0, l0, a0, k, v), jnp.arange(n))
