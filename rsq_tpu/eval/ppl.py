@@ -94,3 +94,45 @@ def ppl_streamed(params, cfg: ModelConfig, policy: QuantPolicy,
     ppl = float(np.exp(np.concatenate(nlls).mean()))
     logger.info("PPL (streamed): %.3f", ppl)
     return ppl
+
+
+def ppl_pp(params, cfg: ModelConfig, policy: QuantPolicy, token_stream,
+           val_seqlen: int, mesh, bsz: int = 8, n_micro: int | None = None
+           ) -> float:
+    """Pipeline-parallel PPL: layer weights stage-sharded over the mesh's
+    `pp` axis (parallel/pp.py GPipe schedule), so models whose weights
+    exceed one chip's HBM evaluate at full speed instead of host-streaming
+    one layer at a time (ppl_streamed).  Llama-family only (the pipeline's
+    stage scan runs llama.layer_forward).
+
+    bsz must divide by n_micro (default: one microbatch per stage)."""
+    from rsq_tpu.models import llama as L
+    from rsq_tpu.parallel import pp as PP
+
+    pp_size = mesh.shape["pp"]
+    n_micro = n_micro or min(bsz, pp_size)
+    assert bsz % n_micro == 0, (bsz, n_micro)
+
+    stream = np.asarray(token_stream).reshape(-1)
+    nsamples = stream.size // val_seqlen
+    ids = stream[: nsamples * val_seqlen].reshape(nsamples, val_seqlen)
+
+    stacked = PP.shard_stacked_layers(
+        PP.stack_layers(params["layers"]), mesh)
+    head_params = {k: v for k, v in params.items() if k != "layers"}
+    fwd = PP.make_pp_forward(cfg, policy, mesh, n_micro=n_micro)
+
+    @jax.jit
+    def nll_of(logits, ids):
+        logp = jax.nn.log_softmax(logits[:, :-1].astype(jnp.float32), -1)
+        nll = -jnp.take_along_axis(logp, ids[:, 1:, None], axis=-1)[..., 0]
+        return jnp.mean(nll, axis=1)
+
+    nlls = []
+    for s in range(0, nsamples - nsamples % bsz, bsz):
+        batch = jnp.asarray(ids[s: s + bsz])
+        logits = fwd(head_params, stacked, batch)
+        nlls.append(np.asarray(nll_of(logits, batch)))
+    ppl = float(np.exp(np.concatenate(nlls).mean()))
+    logger.info("PPL (pp=%d): %.3f", pp_size, ppl)
+    return ppl

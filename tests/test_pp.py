@@ -69,3 +69,16 @@ def test_pp_fused_norm_layers_stack(mesh):
     fwd = pp.make_pp_forward(cfg, pol, mesh, n_micro=4)
     got = np.asarray(fwd(fused, stacked, ids))
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_ppl_pp_matches_fullmodel(mesh):
+    from rsq_tpu.eval.ppl import ppl_fullmodel, ppl_pp
+    from rsq_tpu.quantize import data as D
+
+    cfg = ModelConfig.tiny(num_layers=8)
+    params = M.init_params(cfg, jax.random.PRNGKey(3), scale=0.05)
+    stream = D.get_loaders("synthetic", eval_mode=True,
+                           vocab_size=cfg.vocab_size)[:2048]
+    want = ppl_fullmodel(params, cfg, FP16, stream, val_seqlen=16, bsz=8)
+    got = ppl_pp(params, cfg, FP16, stream, val_seqlen=16, mesh=mesh, bsz=8)
+    assert abs(got - want) / want < 1e-3
