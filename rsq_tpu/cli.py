@@ -133,9 +133,12 @@ def _load_model(name: str, seed: int):
     return cfg, params, name
 
 
-def _policy_from_args(a, fused: bool):
+def _policy_from_args(a, fused: bool, cfg=None):
     from rsq_tpu.core.quant import ActQuantConfig
     from rsq_tpu.models.policy import KVQuantConfig, QuantPolicy
+    from rsq_tpu.core.hadamard import hadU_supported
+    had_down = fused and (cfg is None
+                          or hadU_supported(cfg.intermediate_size))
     return QuantPolicy(
         a=ActQuantConfig(bits=a.a_bits, sym=not a.a_asym,
                          groupsize=a.a_groupsize, clip_ratio=a.a_clip_ratio)
@@ -146,7 +149,7 @@ def _policy_from_args(a, fused: bool):
         k=KVQuantConfig(bits=a.k_bits, sym=not getattr(a, "k_asym", False),
                         groupsize=getattr(a, "k_groupsize", -1),
                         clip_ratio=getattr(a, "k_clip_ratio", 1.0)),
-        online_had_down=fused, online_had_o=fused,
+        online_had_down=had_down, online_had_o=fused,
         fp32_had=getattr(a, "fp32_had", False), norms_fused=fused)
 
 
@@ -204,7 +207,7 @@ def cmd_quantize(a):
         from rsq_tpu.eval.ppl import ppl_fullmodel
         stream = D.get_loaders(a.eval_dataset, eval_mode=True, seed=a.seed,
                                model=hf_name or "", vocab_size=cfg.vocab_size)
-        policy = _policy_from_args(a, fused=a.rotate)
+        policy = _policy_from_args(a, fused=a.rotate, cfg=cfg)
         ppl = ppl_fullmodel(qparams, cfg, policy, stream, a.val_seqlen, a.bsz)
         result.update({"ppl": ppl, "dataset": a.eval_dataset,
                        "val_seqlen": a.val_seqlen})
@@ -219,7 +222,7 @@ def cmd_eval(a):
 
     params, quantizers, cfg, manifest = load_quantized(a.load)
     fused = manifest.get("norms_fused", False)
-    policy = _policy_from_args(a, fused=fused)
+    policy = _policy_from_args(a, fused=fused, cfg=cfg)
     stream = D.get_loaders(a.eval_dataset, eval_mode=True,
                            vocab_size=cfg.vocab_size)
     ppl = ppl_fullmodel(params, cfg, policy, stream, a.val_seqlen, a.bsz)

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = [
-    "hadamard_matrix", "get_hadK", "fwht", "matmul_hadU",
+    "hadamard_matrix", "get_hadK", "fwht", "hadU_supported", "matmul_hadU",
     "random_hadamard_matrix", "random_orthogonal_matrix", "is_pow2",
     "hadamard_transform_last",
 ]
@@ -377,6 +377,17 @@ def fwht_np(x: np.ndarray) -> np.ndarray:
         x = np.concatenate([a + b, a - b], axis=-1)
         h *= 2
     return x.reshape(orig_shape)
+
+
+def hadU_supported(n: int) -> bool:
+    """Whether a fast Hadamard exists for dimension n (some real model dims
+    do not: falcon-7b's 4544/18176 have odd part 71, for which no Hadamard
+    matrix exists — H_n requires n in {1, 2} or n % 4 == 0)."""
+    try:
+        get_hadK(n)
+        return True
+    except Exception:
+        return False
 
 
 def matmul_hadU_np(x: np.ndarray) -> np.ndarray:

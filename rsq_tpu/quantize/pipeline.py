@@ -159,11 +159,15 @@ def _chunk_weights(lp, x, cos, sin, cfg, policy, mask, token_freq, wcfg,
 # Driver
 # ---------------------------------------------------------------------------
 
-def _calibration_policy(rsq: RSQConfig) -> QuantPolicy:
+def _calibration_policy(rsq: RSQConfig, cfg: ModelConfig) -> QuantPolicy:
     """Forward behavior during calibration: online Hadamards active when
-    rotated; no activation quantizers yet."""
-    return QuantPolicy(online_had_down=rsq.rotate, online_had_o=rsq.rotate,
-                       norms_fused=rsq.rotate)
+    rotated; no activation quantizers yet.  The down/fc2 online Hadamard is
+    gated on a construction existing for the intermediate size (falcon-7b's
+    18176 has none; rotation.rotate skips the paired exact transform)."""
+    from rsq_tpu.core.hadamard import hadU_supported
+    return QuantPolicy(
+        online_had_down=rsq.rotate and hadU_supported(cfg.intermediate_size),
+        online_had_o=rsq.rotate, norms_fused=rsq.rotate)
 
 
 def quantize_model(params, cfg: ModelConfig, rsq: RSQConfig, calib_ids,
@@ -186,7 +190,7 @@ def quantize_model(params, cfg: ModelConfig, rsq: RSQConfig, calib_ids,
 
     calib_ids = np.asarray(calib_ids)[: rsq.nsamples]
     n, L = calib_ids.shape
-    policy = _calibration_policy(rsq)
+    policy = _calibration_policy(rsq, cfg)
     cos, sin = family.pos_tables(cfg, jnp.arange(L))
     groups = family.groups_for(cfg)
 

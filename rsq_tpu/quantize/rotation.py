@@ -32,7 +32,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from rsq_tpu.core.hadamard import (
-    get_orthogonal_matrix, matmul_hadU_np)
+    get_orthogonal_matrix, hadU_supported, matmul_hadU_np)
 from rsq_tpu.models.config import ModelConfig
 
 __all__ = ["fuse_norms", "rotate", "post_rotate_after_load", "rotate_model"]
@@ -204,6 +204,11 @@ def rotate(params, cfg: ModelConfig, Q: np.ndarray):
     hd = cfg.head_dim_
     mlp_in, mlp_out = (("fc1",), "fc2") if cfg.family in ("opt", "falcon") \
         else (("up", "gate"), "down")
+    # falcon-7b's intermediate size (odd part 71) admits no Hadamard; the
+    # down/fc2 exact-Hadamard (and its online pair) is skipped there —
+    # callers consult hadU_supported when building the forward policy
+    had_mlp = hadU_supported(int(_np64(
+        out["layers"][0][mlp_out]["w"]).shape[0])) if out["layers"] else True
     for lp in out["layers"]:
         _rot_in(lp["q"], Q)
         _rot_in(lp["k"], Q)
@@ -212,7 +217,8 @@ def rotate(params, cfg: ModelConfig, Q: np.ndarray):
         for n in mlp_in:
             _rot_in(lp[n], Q)
         _rot_out(lp[mlp_out], Q)
-        _had_in(lp[mlp_out])            # pairs with online full Hadamard
+        if had_mlp:
+            _had_in(lp[mlp_out])        # pairs with online full Hadamard
         _had_out_per_head(lp["v"], hd)  # pairs with ...
         if cfg.family == "falcon":      # ... fully-offline per-head pair
             _had_in_per_head(lp["o"], hd)
@@ -228,8 +234,10 @@ def post_rotate_after_load(params, cfg: ModelConfig):
     out = _copy_layers(params)
     hd = cfg.head_dim_
     mlp_out = "fc2" if cfg.family in ("opt", "falcon") else "down"
+    had_mlp = hadU_supported(cfg.intermediate_size)
     for lp in out["layers"]:
-        _had_in(lp[mlp_out])
+        if had_mlp:
+            _had_in(lp[mlp_out])
         _had_out_per_head(lp["v"], hd)
         if cfg.family == "falcon":
             _had_in_per_head(lp["o"], hd)
@@ -252,6 +260,8 @@ def rotate_model(params, cfg: ModelConfig, mode: str = "hadamard",
             "rotation is not supported for Gemma-2 (post-block norms block "
             "QuaRot fusion); quantize with rotate=False, matching the "
             "reference's fuse_layer_norms contract")
+    if mode == "hadamard" and not hadU_supported(cfg.hidden_size):
+        mode = "random"  # e.g. falcon-7b hidden 4544 (odd part 71)
     Q = get_orthogonal_matrix(cfg.hidden_size, mode=mode, seed=seed)
     fused = fuse_norms(params, cfg)
     return rotate(fused, cfg, Q), Q

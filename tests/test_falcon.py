@@ -157,3 +157,30 @@ def test_falcon_weighting_attncon(tiny_falcon):
         WeightingConfig(method="attncon", min_value=0.005, max_value=1.0)))
     assert w.shape == (L,)
     assert (w >= 0.005 - 1e-6).all() and (w <= 1.0 + 1e-6).all()
+
+
+def test_falcon_7b_dims_rotation_fallback():
+    """Real falcon-7b dims have odd part 71 (no Hadamard for hidden 4544 /
+    intermediate 18176): rotate_model must fall back to a random
+    orthogonal Q and skip the down-projection Hadamard pair, staying
+    invariant end-to-end."""
+    cfg = ModelConfig.tiny_falcon(hidden_size=64, intermediate_size=142,
+                                  num_attention_heads=4)
+    params = F.init_params(cfg, jax.random.PRNGKey(7), scale=0.05)
+    ids = jnp.asarray(np.random.default_rng(8).integers(0, 256, (2, 10)))
+    base = np.asarray(F.forward(params, ids, cfg, FP16))
+    rotated, _ = rotation.rotate_model(params, cfg, mode="hadamard", seed=0)
+    pol = QuantPolicy(norms_fused=True, online_had_down=False, fp32_had=True)
+    got = np.asarray(F.forward(rotated, ids, cfg, pol))
+    np.testing.assert_allclose(got, base, rtol=2e-3, atol=2e-3)
+
+    from rsq_tpu.core.quant import WeightQuantConfig
+    from rsq_tpu.quantize import data as D
+    from rsq_tpu.quantize.pipeline import RSQConfig, quantize_model
+    calib = D.get_loaders("synthetic", nsamples=2, seqlen=16,
+                          vocab_size=cfg.vocab_size)
+    qp, _ = quantize_model(
+        params, cfg, RSQConfig(w=WeightQuantConfig(bits=4), rotate=True,
+                               nsamples=2), calib)
+    assert np.isfinite(np.asarray(
+        F.forward(qp, ids, cfg, QuantPolicy(norms_fused=True)))).all()
