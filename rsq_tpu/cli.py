@@ -96,6 +96,10 @@ def _build_parser():
 
     e = sub.add_parser("eval", help="evaluate a saved quantized checkpoint")
     e.add_argument("--load", required=True)
+    e.add_argument("--pp", type=int, default=1,
+                   help="pipeline-parallel stages for eval (layer weights "
+                        "stage-sharded over a pp mesh axis; for models "
+                        "beyond one chip's HBM)")
     e.add_argument("--eval-dataset", default="wikitext2")
     e.add_argument("--val-seqlen", type=int, default=2048)
     e.add_argument("--bsz", type=int, default=8)
@@ -225,7 +229,13 @@ def cmd_eval(a):
     policy = _policy_from_args(a, fused=fused, cfg=cfg)
     stream = D.get_loaders(a.eval_dataset, eval_mode=True,
                            vocab_size=cfg.vocab_size)
-    ppl = ppl_fullmodel(params, cfg, policy, stream, a.val_seqlen, a.bsz)
+    if getattr(a, "pp", 1) > 1:
+        from rsq_tpu.eval.ppl import ppl_pp
+        from rsq_tpu.parallel.pp import make_pp_mesh
+        ppl = ppl_pp(params, cfg, policy, stream, a.val_seqlen,
+                     make_pp_mesh(a.pp), a.bsz)
+    else:
+        ppl = ppl_fullmodel(params, cfg, policy, stream, a.val_seqlen, a.bsz)
     print(json.dumps({"ppl": ppl, "dataset": a.eval_dataset}))
 
 
