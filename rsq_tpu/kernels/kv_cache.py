@@ -136,28 +136,11 @@ def int4_decode_attention(q, kq, kp, vq, vp, lengths, *, sm_scale=None,
     return out
 
 
-def _decode_kernel_pref(idx_ref, q_ref, kq_ref, kp_ref, vq_ref,
-                        vp_ref, out_ref, m_out_ref, l_out_ref, m_ref, l_ref,
-                        acc_ref, *, chunk, nchunks, heads):
-    """Stacked INT4 flash-decode kernel: cache blocks come from the FULL
-    stacked (L, B, H, ...) arrays, selected by the prefetched layer index
-    (slicing the cache per layer would copy ~9 MB/layer/step).
-    idx_ref (scalar prefetch) = [layer, length_0 .. length_{B-1}]; the
-    lengths also drive the cache BlockSpec index maps, which CLAMP the
-    sequence-chunk index to the last valid chunk — consecutive repeated
-    block indices skip the DMA, so a sequence at fill f only streams
-    ceil(f/chunk) chunks of its max_seq-sized cache.
-
-    Processes ALL kv heads of one (batch, chunk) cell per grid step — a
-    per-(B, H, chunk) grid spends ~0.65 us of grid overhead per 0.09 us of
-    DMA (measured 108 GB/s, trace_decode r3); widening the block to the
-    whole head axis makes each step stream ~0.6 MB.
-
-    Also emits the online-softmax state (m, l) so the caller can merge the
-    CURRENT token's self-attention term analytically — the kernel then only
-    ever READS the cache, letting XLA apply the subsequent append scatter
-    in place (a scatter racing a custom-call consumer forces a full cache
-    copy per layer: ~300 MB, measured as 76 ms of a 90 ms decode step)."""
+def _attend_chunks(idx_ref, q_ref, kq_ref, kp_ref, vq_ref, vp_ref,
+                   m_ref, l_ref, acc_ref, *, chunk, heads):
+    """Shared chunk body of the stacked INT4 flash-decode kernels: one
+    online-softmax step over this grid cell's (batch, chunk) cache block,
+    accumulating into the (m, l, acc) scratch."""
     s = pl.program_id(1)
 
     @pl.when(s == 0)
@@ -222,6 +205,11 @@ def _decode_kernel_pref(idx_ref, q_ref, kq_ref, kp_ref, vq_ref,
         vs = vp_ref[0, 0, :, 0:1, :].astype(jnp.float32)  # (H, 1, ch)
         vz = vp_ref[0, 0, :, 1:2, :].astype(jnp.float32)
 
+        # PV stays as H per-head dots: a merged block-diagonal PV (the QK
+        # trick) was tried and measured SLOWER end-to-end (9.69 vs
+        # 8.83 ms/step, r3) — building the (H*Gp, H*ch) block-diagonal P
+        # and transposing V to (D, H*ch) costs more VPU/relayout time than
+        # the H small dots' pipeline latency.
         ps = (p * vs).astype(jnp.bfloat16)                # (H, Gp, ch)
         pz = jnp.sum(p * vz, axis=2, keepdims=True)       # (H, Gp, 1)
         ts = []
@@ -238,12 +226,65 @@ def _decode_kernel_pref(idx_ref, q_ref, kq_ref, kp_ref, vq_ref,
         m_ref[...] = jnp.broadcast_to(m_new, m_ref.shape)
         l_ref[...] = jnp.broadcast_to(l_new, l_ref.shape)
 
-    @pl.when(s == nchunks - 1)
+
+def _decode_kernel_pref(idx_ref, q_ref, kq_ref, kp_ref, vq_ref,
+                        vp_ref, out_ref, m_out_ref, l_out_ref, m_ref, l_ref,
+                        acc_ref, *, chunk, nchunks, heads):
+    """Stacked INT4 flash-decode kernel: cache blocks come from the FULL
+    stacked (L, B, H, ...) arrays, selected by the prefetched layer index
+    (slicing the cache per layer would copy ~9 MB/layer/step).
+    idx_ref (scalar prefetch) = [layer, length_0 .. length_{B-1}]; the
+    lengths also drive the cache BlockSpec index maps, which CLAMP the
+    sequence-chunk index to the last valid chunk — consecutive repeated
+    block indices skip the DMA, so a sequence at fill f only streams
+    ceil(f/chunk) chunks of its max_seq-sized cache.
+
+    Processes ALL kv heads of one (batch, chunk) cell per grid step — a
+    per-(B, H, chunk) grid spends ~0.65 us of grid overhead per 0.09 us of
+    DMA (measured 108 GB/s, trace_decode r3); widening the block to the
+    whole head axis makes each step stream ~0.6 MB.
+
+    Also emits the online-softmax state (m, l) so the caller can merge the
+    CURRENT token's self-attention term analytically — the kernel then only
+    ever READS the cache, letting XLA apply the subsequent append scatter
+    in place (a scatter racing a custom-call consumer forces a full cache
+    copy per layer: ~300 MB, measured as 76 ms of a 90 ms decode step)."""
+    _attend_chunks(idx_ref, q_ref, kq_ref, kp_ref, vq_ref, vp_ref,
+                   m_ref, l_ref, acc_ref, chunk=chunk, heads=heads)
+
+    @pl.when(pl.program_id(1) == nchunks - 1)
     def _():
         out_ref[0] = (acc_ref[...] /
                       l_ref[...][:, :, 0:1]).astype(out_ref.dtype)
         m_out_ref[0] = m_ref[...]
         l_out_ref[0] = l_ref[...]
+
+
+def _decode_kernel_pref_self(idx_ref, q_ref, kq_ref, kp_ref, vq_ref, vp_ref,
+                             ks_ref, vs_ref, out_ref, m_ref, l_ref, acc_ref,
+                             *, chunk, nchunks, heads):
+    """_decode_kernel_pref variant that folds the CURRENT token's
+    self-attention term in-kernel: ks_ref/vs_ref hold the (1, H, D)
+    dequantized cache-basis K/V of the token being appended, applied as one
+    more online-softmax step in the finalize block.  Replaces the caller-side
+    merge_self_attention fusion chain and the m/l kernel outputs (~0.3 ms of
+    small per-layer XLA fusions at decode shapes, trace r3)."""
+    _attend_chunks(idx_ref, q_ref, kq_ref, kp_ref, vq_ref, vp_ref,
+                   m_ref, l_ref, acc_ref, chunk=chunk, heads=heads)
+
+    @pl.when(pl.program_id(1) == nchunks - 1)
+    def _():
+        q_all = q_ref[0].astype(jnp.float32)              # (H, Gp, D)
+        ks = ks_ref[0].astype(jnp.float32)                # (H, D)
+        vs = vs_ref[0].astype(jnp.float32)
+        lg = jnp.sum(q_all * ks[:, None, :], axis=2, keepdims=True)
+        m_prev = m_ref[...][:, :, 0:1]                    # (H, Gp, 1)
+        m_fin = jnp.maximum(m_prev, lg)
+        alpha = jnp.exp(m_prev - m_fin)                   # 0 if cache empty
+        p = jnp.exp(lg - m_fin)                           # (H, Gp, 1)
+        l_fin = l_ref[...][:, :, 0:1] * alpha + p
+        acc = acc_ref[...] * alpha + p * vs[:, None, :]
+        out_ref[0] = (acc / l_fin).astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("sm_scale", "chunk", "interpret"))
@@ -325,6 +366,80 @@ def int4_decode_attention_stacked(q, kq_all, kp_all, vq_all, vp_all, layer,
       qg, kq_all, kp_all, vq_all, vp_all)
     return (out[:, :, :G, :].reshape(B, Hq, D), m[:, :, :G, 0],
             l[:, :, :G, 0])
+
+
+@functools.partial(jax.jit, static_argnames=("sm_scale", "chunk", "interpret"))
+def int4_decode_attention_stacked_self(q, kq_all, kp_all, vq_all, vp_all,
+                                       layer, lengths, k_self, v_self, *,
+                                       sm_scale=None, chunk: int = 512,
+                                       interpret: bool | None = None):
+    """int4_decode_attention_stacked with the CURRENT token's self-attention
+    term folded in-kernel.
+
+    k_self/v_self: (B, Hkv, D) dequantized cache-basis K/V of the token
+    being appended (i.e. unpack_dequant_head of its quantized form, so the
+    math matches what the cache will hold).  Returns the fully normalized
+    (B, Hq, D) attention output — no (m, l) state, no caller-side merge.
+    The kernel still only READS the cache; the append stays separate."""
+    from rsq_tpu.kernels import default_interpret
+    interpret = default_interpret(interpret)
+    B, Hq, D = q.shape
+    L, _, Hkv, _, S = kq_all.shape
+    G = Hq // Hkv
+    Gp = max(8, G)
+    if sm_scale is None:
+        sm_scale = 1.0 / math.sqrt(D)
+
+    qg = (q.astype(jnp.float32) * sm_scale).reshape(B, Hkv, G, D)
+    if Gp != G:
+        qg = jnp.pad(qg, ((0, 0), (0, 0), (0, Gp - G), (0, 0)))
+
+    ch = pick_chunk(S, chunk)
+    nchunks = S // ch
+
+    def clamp_s(s, idx, b):
+        last = jnp.maximum((idx[1 + b] + ch - 1) // ch - 1, 0)
+        return jnp.minimum(s, last)
+
+    grid = (B, nchunks)
+    out = pl.pallas_call(
+        functools.partial(_decode_kernel_pref_self, chunk=ch,
+                          nchunks=nchunks, heads=Hkv),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, Hkv, Gp, D), lambda b, s, idx: (b, 0, 0, 0)),
+                pl.BlockSpec((1, 1, Hkv, D // 2, ch),
+                             lambda b, s, idx: (idx[0], b, 0, 0,
+                                                clamp_s(s, idx, b))),
+                pl.BlockSpec((1, 1, Hkv, 2, ch),
+                             lambda b, s, idx: (idx[0], b, 0, 0,
+                                                clamp_s(s, idx, b))),
+                pl.BlockSpec((1, 1, Hkv, D // 2, ch),
+                             lambda b, s, idx: (idx[0], b, 0, 0,
+                                                clamp_s(s, idx, b))),
+                pl.BlockSpec((1, 1, Hkv, 2, ch),
+                             lambda b, s, idx: (idx[0], b, 0, 0,
+                                                clamp_s(s, idx, b))),
+                pl.BlockSpec((1, Hkv, D), lambda b, s, idx: (b, 0, 0)),
+                pl.BlockSpec((1, Hkv, D), lambda b, s, idx: (b, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, Hkv, Gp, D),
+                                   lambda b, s, idx: (b, 0, 0, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((Hkv, Gp, 128), jnp.float32),
+                pltpu.VMEM((Hkv, Gp, 128), jnp.float32),
+                pltpu.VMEM((Hkv, Gp, D), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, Hkv, Gp, D), q.dtype),
+        interpret=interpret,
+    )(jnp.concatenate([jnp.asarray(layer, jnp.int32).reshape(1),
+                       lengths.astype(jnp.int32)]),
+      qg, kq_all, kp_all, vq_all, vp_all,
+      k_self.astype(jnp.float32), v_self.astype(jnp.float32))
+    return out[:, :, :G, :].reshape(B, Hq, D)
 
 
 def _decode_kernel_bf16_pref(idx_ref, q_ref, k_ref, v_ref, out_ref,

@@ -632,20 +632,24 @@ def _decode_step_fast(params, cache, token_ids, sc: ServingConfig):
                 qh = hadamard_transform_last(qh)
             kq_t, kp_t = KVK.asym_quant_pack_head(kb)   # token-major
             vq_t, vp_t = KVK.asym_quant_pack_head(vb)
-            out_old, m_old, l_old = KVK.int4_decode_attention_stacked(
+            # self-attention term of the token being appended folds in-kernel
+            # (one more online-softmax step) — no caller-side merge, no m/l
+            # outputs.  k/v_self are the DEQUANTIZED values so the math
+            # matches what the cache will hold for later steps.
+            k_self = KVK.unpack_dequant_head(kq_t, kp_t)[:, :, 0]  # (B,H,D)
+            v_self = KVK.unpack_dequant_head(vq_t, vp_t)[:, :, 0]
+            attn = KVK.int4_decode_attention_stacked_self(
                 qh, cache["kq"], cache["kp"], cache["vq"], cache["vp"], i,
-                length)
-            k_self = KVK.unpack_dequant_head(kq_t, kp_t)   # (B, H, 1, D)
-            v_self = KVK.unpack_dequant_head(vq_t, vp_t)
+                length, k_self, v_self)
         else:
             out_old, m_old, l_old = KVK.bf16_decode_attention_stacked(
                 qh, cache["k"], cache["v"], i, length)
             k_self = kb.astype(cache["k"].dtype).astype(jnp.float32)
             v_self = vb.astype(cache["v"].dtype).astype(jnp.float32)
-        qs = (qh.astype(jnp.float32) / jnp.sqrt(jnp.float32(hd))
-              ).reshape(b, nkv, nq // nkv, hd)
-        attn = KVK.merge_self_attention(out_old, m_old, l_old, qs,
-                                        k_self, v_self)
+            qs = (qh.astype(jnp.float32) / jnp.sqrt(jnp.float32(hd))
+                  ).reshape(b, nkv, nq // nkv, hd)
+            attn = KVK.merge_self_attention(out_old, m_old, l_old, qs,
+                                            k_self, v_self)
 
         # ONE aliased Pallas append, NOT a batched scatter (a scatter with a
         # vector of positions makes XLA pick a non-default layout for the

@@ -192,3 +192,70 @@ def test_kv_append_stacked_bf16_matches_scatter():
     for out, cache, new in ((ok, k, nk), (ov, v, nv)):
         want = cache.at[layer, bidx, :, pos, :].set(new[:, :, 0, :])
         np.testing.assert_array_equal(np.asarray(out), np.asarray(want))
+
+
+def test_stacked_decode_self_fold_matches_append_then_attend():
+    """int4_decode_attention_stacked_self must equal attending over a cache
+    with the new token already appended (the in-kernel self fold is one more
+    step of the same online softmax)."""
+    L, B, Hkv, G, D, S = 3, 4, 2, 4, 128, 256
+    Hq = Hkv * G
+    rng = np.random.default_rng(7)
+    kq = jnp.asarray(rng.integers(0, 256, (L, B, Hkv, D // 2, S)), jnp.uint8)
+    vq = jnp.asarray(rng.integers(0, 256, (L, B, Hkv, D // 2, S)), jnp.uint8)
+    kp = jnp.asarray(rng.uniform(0.01, 0.1, (L, B, Hkv, 2, S)), jnp.float32)
+    vp = jnp.asarray(rng.uniform(0.01, 0.1, (L, B, Hkv, 2, S)), jnp.float32)
+    q = jnp.asarray(rng.standard_normal((B, Hq, D)), jnp.float32)
+    lengths = jnp.asarray([100, 1, S - 1, 77], jnp.int32)
+
+    knew = jnp.asarray(rng.standard_normal((B, Hkv, 1, D)), jnp.float32)
+    vnew = jnp.asarray(rng.standard_normal((B, Hkv, 1, D)), jnp.float32)
+    kq_t, kp_t = KV.asym_quant_pack_head(knew)
+    vq_t, vp_t = KV.asym_quant_pack_head(vnew)
+    k_self = KV.unpack_dequant_head(kq_t, kp_t)[:, :, 0]
+    v_self = KV.unpack_dequant_head(vq_t, vp_t)[:, :, 0]
+
+    layer = 1
+    got = KV.int4_decode_attention_stacked_self(
+        q, kq, kp, vq, vp, layer, lengths, k_self, v_self,
+        chunk=128, interpret=True)
+
+    # oracle: write the quantized token into the dense cache, then attend
+    kq_lm, kp_lm = KV.to_lane_major(kq_t, kp_t)
+    vq_lm, vp_lm = KV.to_lane_major(vq_t, vp_t)
+    kq1, kp1, vq1, vp1 = [np.array(x[layer]) for x in (kq, kp, vq, vp)]
+    for b in range(B):
+        p = int(lengths[b])
+        kq1[b, :, :, p] = np.array(kq_lm)[b, :, :, 0]
+        kp1[b, :, :, p] = np.array(kp_lm)[b, :, :, 0]
+        vq1[b, :, :, p] = np.array(vq_lm)[b, :, :, 0]
+        vp1[b, :, :, p] = np.array(vp_lm)[b, :, :, 0]
+    want = KV.int4_decode_attention_reference(
+        q, jnp.asarray(kq1), jnp.asarray(kp1), jnp.asarray(vq1),
+        jnp.asarray(vp1), lengths + 1)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32),
+                               rtol=1e-2, atol=2e-2)
+
+
+def test_stacked_decode_self_fold_empty_cache():
+    """length == 0: the output must be exactly v_self (softmax over the one
+    self token)."""
+    L, B, Hkv, G, D, S = 1, 2, 2, 2, 64, 128
+    Hq = Hkv * G
+    rng = np.random.default_rng(9)
+    kq = jnp.zeros((L, B, Hkv, D // 2, S), jnp.uint8)
+    vq = jnp.zeros((L, B, Hkv, D // 2, S), jnp.uint8)
+    kp = jnp.full((L, B, Hkv, 2, S), 0.05, jnp.float32)
+    vp = jnp.full((L, B, Hkv, 2, S), 0.05, jnp.float32)
+    q = jnp.asarray(rng.standard_normal((B, Hq, D)), jnp.float32)
+    lengths = jnp.zeros((B,), jnp.int32)
+    k_self = jnp.asarray(rng.standard_normal((B, Hkv, D)), jnp.float32)
+    v_self = jnp.asarray(rng.standard_normal((B, Hkv, D)), jnp.float32)
+    got = KV.int4_decode_attention_stacked_self(
+        q, kq, kp, vq, vp, 0, lengths, k_self, v_self,
+        chunk=128, interpret=True)
+    want = jnp.repeat(v_self, G, axis=1)  # (B, Hq, D)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32),
+                               rtol=1e-2, atol=1e-2)
