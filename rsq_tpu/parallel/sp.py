@@ -40,9 +40,10 @@ from rsq_tpu.models import llama as M
 from rsq_tpu.models.config import ModelConfig
 from rsq_tpu.models.policy import QuantPolicy
 def _pvary(x, axes):
-    """pvary with fallback: renamed to pcast(to='varying') in newer jax."""
+    """pvary with fallback: renamed to pcast(x, axis_name, to='varying')
+    in newer jax (axis name is positional there)."""
     try:
-        return jax.lax.pcast(x, to="varying", axes=axes)
+        return jax.lax.pcast(x, axes, to="varying")
     except (AttributeError, TypeError):
         return jax.lax.pvary(x, axes)
 
