@@ -72,11 +72,20 @@ def hybrid_mesh(dcn_axes: dict[str, int], ici_axes: dict[str, int],
     n_slices = len({getattr(d, "slice_index", 0) for d in devices})
     if n_slices > 1:
         from jax.experimental import mesh_utils
-        # one mesh dim per axis; mesh_utils splits DCN dims across slices
+        # create_hybrid_device_mesh requires mesh_shape and dcn_mesh_shape to
+        # have the SAME rank (the result is their elementwise product).  Pad
+        # each with 1s so every axis is either pure-DCN or pure-ICI: the
+        # result then has shape dcn_shape + ici_shape directly, with no
+        # reshape that could interleave devices across slices (a trailing
+        # reshape after a rank-mismatched call would mix slice devices into
+        # the ICI axes, putting tp/sp traffic on DCN).
+        ici_s = ici_shape if ici_shape else (1,)
+        dcn_s = dcn_shape if dcn_shape else (1,)
         dev_array = mesh_utils.create_hybrid_device_mesh(
-            ici_shape if ici_shape else (1,),
-            dcn_shape if dcn_shape else (1,),
+            (1,) * len(dcn_s) + ici_s, dcn_s + (1,) * len(ici_s),
             devices=devices)
+        # result already has shape dcn_s + ici_s; only trivial padded-1 axes
+        # are removed here, so no cross-slice reordering can occur.
         dev_array = dev_array.reshape(dcn_shape + ici_shape)
     else:
         # single slice (or CPU simulation): contiguous reshape keeps

@@ -25,6 +25,38 @@ def test_hybrid_mesh_axis_order_and_shape():
         assert list(row) == list(range(row[0], row[0] + 4))
 
 
+class _FakeDev:
+    """Minimal device stand-in carrying slice_index, enough to drive the
+    n_slices>1 branch of hybrid_mesh single-process (real multislice needs
+    a multi-host job)."""
+
+    def __init__(self, i, sl):
+        self.id = i
+        self.slice_index = sl
+        self.process_index = sl
+        self.platform = "cpu"
+        self.device_kind = "cpu"
+
+    def __repr__(self):
+        return f"D{self.id}s{self.slice_index}"
+
+
+def test_hybrid_mesh_multislice_keeps_ici_axes_within_a_slice():
+    """With >1 ICI axis (dcn={dp:2}, ici={tp:2,sp:2}) every dp row must hold
+    devices of exactly one slice — tp/sp collectives must never span DCN.
+    Regression for the rank-mismatched create_hybrid_device_mesh call whose
+    trailing reshape interleaved slices (ADVICE r3 #1)."""
+    devs = [_FakeDev(i, i // 4) for i in range(8)]
+    mesh = MH.hybrid_mesh({"dp": 2}, {"tp": 2, "sp": 2}, devices=devs)
+    assert mesh.devices.shape == (2, 2, 2)
+    for i in range(2):
+        slices = {d.slice_index for d in mesh.devices[i].ravel()}
+        assert len(slices) == 1, f"dp row {i} spans slices {slices}"
+    # and the two rows are distinct slices
+    assert ({mesh.devices[0, 0, 0].slice_index}
+            != {mesh.devices[1, 0, 0].slice_index})
+
+
 def test_hybrid_mesh_device_count_mismatch():
     with pytest.raises(ValueError, match="need 16 devices"):
         MH.hybrid_mesh({"dp": 4}, {"tp": 4})
