@@ -260,6 +260,25 @@ def _decode_kernel_pref(idx_ref, q_ref, kq_ref, kp_ref, vq_ref,
         l_out_ref[0] = l_ref[...]
 
 
+def _self_fold_finalize(q_ref, ks_ref, vs_ref, out_ref, m_ref, l_ref,
+                        acc_ref):
+    """Shared finalize of the self-folding decode kernels: one more
+    online-softmax step over the CURRENT token's (k_self, v_self), then
+    normalize and emit.  Exact — it is the same update the chunk loop runs,
+    with a one-column block."""
+    q_all = q_ref[0].astype(jnp.float32)              # (H, Gp, D)
+    ks = ks_ref[0].astype(jnp.float32)                # (H, D)
+    vs = vs_ref[0].astype(jnp.float32)
+    lg = jnp.sum(q_all * ks[:, None, :], axis=2, keepdims=True)
+    m_prev = m_ref[...][:, :, 0:1]                    # (H, Gp, 1)
+    m_fin = jnp.maximum(m_prev, lg)
+    alpha = jnp.exp(m_prev - m_fin)                   # 0 if cache empty
+    p = jnp.exp(lg - m_fin)                           # (H, Gp, 1)
+    l_fin = l_ref[...][:, :, 0:1] * alpha + p
+    acc = acc_ref[...] * alpha + p * vs[:, None, :]
+    out_ref[0] = (acc / l_fin).astype(out_ref.dtype)
+
+
 def _decode_kernel_pref_self(idx_ref, q_ref, kq_ref, kp_ref, vq_ref, vp_ref,
                              ks_ref, vs_ref, out_ref, m_ref, l_ref, acc_ref,
                              *, chunk, nchunks, heads):
@@ -274,17 +293,8 @@ def _decode_kernel_pref_self(idx_ref, q_ref, kq_ref, kp_ref, vq_ref, vp_ref,
 
     @pl.when(pl.program_id(1) == nchunks - 1)
     def _():
-        q_all = q_ref[0].astype(jnp.float32)              # (H, Gp, D)
-        ks = ks_ref[0].astype(jnp.float32)                # (H, D)
-        vs = vs_ref[0].astype(jnp.float32)
-        lg = jnp.sum(q_all * ks[:, None, :], axis=2, keepdims=True)
-        m_prev = m_ref[...][:, :, 0:1]                    # (H, Gp, 1)
-        m_fin = jnp.maximum(m_prev, lg)
-        alpha = jnp.exp(m_prev - m_fin)                   # 0 if cache empty
-        p = jnp.exp(lg - m_fin)                           # (H, Gp, 1)
-        l_fin = l_ref[...][:, :, 0:1] * alpha + p
-        acc = acc_ref[...] * alpha + p * vs[:, None, :]
-        out_ref[0] = (acc / l_fin).astype(out_ref.dtype)
+        _self_fold_finalize(q_ref, ks_ref, vs_ref, out_ref, m_ref, l_ref,
+                            acc_ref)
 
 
 @functools.partial(jax.jit, static_argnames=("sm_scale", "chunk", "interpret"))

@@ -39,77 +39,103 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from rsq_tpu.kernels.kv_cache import (
-    MASK_VALUE, _unpack_u4_bf16, asym_quant_pack_head, to_lane_major,
+    MASK_VALUE, _append_kernel, _attend_chunks, _self_fold_finalize,
+    _unpack_u4_bf16, asym_quant_pack_head, to_lane_major,
     unpack_dequant_head)
 
 
 # ---------------------------------------------------------------------------
-# Decode kernel
+# Decode kernels.  Same all-heads-per-grid-cell shape as the contiguous
+# stacked kernel (kv_cache._attend_chunks): grid (B, NP), each step streams
+# one POOL PAGE covering every kv head — the per-(B, H, page) grid this file
+# ran through round 3 measured ~5x slower on the contiguous kernel's own
+# ablations (BENCHMARKS §3: narrow per-head blocks spend ~0.65 us of grid
+# overhead per 0.09 us of DMA; the merged block-diagonal QK dot lifts MXU
+# M-utilization Gp/128 -> H*Gp/128).  The pool block (1, 1, Hkv, D/2, page)
+# has exactly the contiguous kernel's block shape with chunk=page, so the
+# kernel BODY is shared verbatim — only the BlockSpec index maps differ
+# (page-table indirection instead of a sequence offset).
 # ---------------------------------------------------------------------------
 
-def _paged_decode_kernel(ptab_ref, len_ref, q_ref, kq_ref, kp_ref, vq_ref,
-                         vp_ref, out_ref, m_ref, l_ref, acc_ref, *,
-                         page, npages):
-    p = pl.program_id(2)
+def _paged_kernel_fast(idx_ref, ptab_ref, q_ref, kq_ref, kp_ref, vq_ref,
+                       vp_ref, out_ref, m_ref, l_ref, acc_ref, *,
+                       page, npages, heads):
+    _attend_chunks(idx_ref, q_ref, kq_ref, kp_ref, vq_ref, vp_ref,
+                   m_ref, l_ref, acc_ref, chunk=page, heads=heads)
 
-    @pl.when(p == 0)
+    @pl.when(pl.program_id(1) == npages - 1)
     def _():
-        m_ref[...] = jnp.full_like(m_ref, -jnp.inf)
-        l_ref[...] = jnp.zeros_like(l_ref)
-        acc_ref[...] = jnp.zeros_like(acc_ref)
+        out_ref[0] = (acc_ref[...] /
+                      l_ref[...][:, :, 0:1]).astype(out_ref.dtype)
 
-    length = len_ref[pl.program_id(0)]
-    base = p * page
 
-    @pl.when(base < length)
+def _paged_kernel_fast_self(idx_ref, ptab_ref, q_ref, kq_ref, kp_ref, vq_ref,
+                            vp_ref, ks_ref, vs_ref, out_ref, m_ref, l_ref,
+                            acc_ref, *, page, npages, heads):
+    """Self-folding twin (kv_cache._decode_kernel_pref_self): the CURRENT
+    token's dequantized (k_self, v_self) joins as one more online-softmax
+    step in the finalize, so the kernel only ever READS the pool and the
+    caller's append can stay in place."""
+    _attend_chunks(idx_ref, q_ref, kq_ref, kp_ref, vq_ref, vp_ref,
+                   m_ref, l_ref, acc_ref, chunk=page, heads=heads)
+
+    @pl.when(pl.program_id(1) == npages - 1)
     def _():
-        q = q_ref[0, 0].astype(jnp.float32)           # (Gp, D)
-        dh = q.shape[-1] // 2
-        q_lo = q[:, :dh].astype(jnp.bfloat16)
-        q_hi = q[:, dh:].astype(jnp.bfloat16)
-        qsum = jnp.sum(q, axis=1, keepdims=True)      # (Gp, 1)
+        _self_fold_finalize(q_ref, ks_ref, vs_ref, out_ref, m_ref, l_ref,
+                            acc_ref)
 
-        k_lo, k_hi = _unpack_u4_bf16(kq_ref[0, 0])    # (D/2, page)
-        ks = kp_ref[0, 0, 0, :].astype(jnp.float32)   # (page,)
-        kz = kp_ref[0, 0, 1, :].astype(jnp.float32)
 
-        raw = (jnp.dot(q_lo, k_lo, preferred_element_type=jnp.float32)
-               + jnp.dot(q_hi, k_hi, preferred_element_type=jnp.float32))
-        logits = raw * ks[None, :] - qsum * kz[None, :]
+def _paged_grid_spec(B, Hkv, D, page, NP, Gp, with_self: bool):
+    """PrefetchScalarGridSpec shared by the two paged decode kernels.
+    Scalar prefetch: idx = [layer, lengths...], ptab (B, NP).  Padding
+    page-table entries repeat the LAST VALID page id via the clamp below, so
+    consecutive identical block indices skip their DMAs — a sequence at fill
+    f only streams ceil(f/page) pages (same trick as the contiguous
+    kernel's clamp_s)."""
 
-        pos = base + jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
-        logits = jnp.where(pos < length, logits, MASK_VALUE)
+    def clamp_p(p, idx, ptab, b):
+        last = jnp.maximum((idx[1 + b] + page - 1) // page - 1, 0)
+        return ptab[b, jnp.minimum(p, last)]
 
-        m_prev = m_ref[...][:, 0:1]                   # (Gp, 1)
-        m_cur = jnp.max(logits, axis=1, keepdims=True)
-        m_new = jnp.maximum(m_prev, m_cur)
-        alpha = jnp.exp(m_prev - m_new)
-        prob = jnp.exp(logits - m_new)                # (Gp, page) f32
-        l_new = alpha * l_ref[...][:, 0:1] + jnp.sum(prob, axis=1,
-                                                     keepdims=True)
+    def pool_spec(x):
+        return pl.BlockSpec(
+            (1, 1, Hkv, x, page),
+            lambda b, p, idx, ptab, x=x: (idx[0], clamp_p(p, idx, ptab, b),
+                                          0, 0, 0))
 
-        v_lo, v_hi = _unpack_u4_bf16(vq_ref[0, 0])    # (D/2, page)
-        vs = vp_ref[0, 0, 0, :].astype(jnp.float32)
-        vz = vp_ref[0, 0, 1, :].astype(jnp.float32)
+    in_specs = [
+        pl.BlockSpec((1, Hkv, Gp, D), lambda b, p, idx, ptab: (b, 0, 0, 0)),
+        pool_spec(D // 2), pool_spec(2), pool_spec(D // 2), pool_spec(2),
+    ]
+    if with_self:
+        in_specs += [
+            pl.BlockSpec((1, Hkv, D), lambda b, p, idx, ptab: (b, 0, 0)),
+            pl.BlockSpec((1, Hkv, D), lambda b, p, idx, ptab: (b, 0, 0)),
+        ]
+    return pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B, NP),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, Hkv, Gp, D),
+                               lambda b, p, idx, ptab: (b, 0, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((Hkv, Gp, 128), jnp.float32),
+            pltpu.VMEM((Hkv, Gp, 128), jnp.float32),
+            pltpu.VMEM((Hkv, Gp, D), jnp.float32),
+        ],
+    )
 
-        ps = (prob * vs[None, :]).astype(jnp.bfloat16)
-        pz = jnp.sum(prob * vz[None, :], axis=1, keepdims=True)
-        t_lo = jax.lax.dot_general(
-            ps, v_lo, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)       # (Gp, D/2)
-        t_hi = jax.lax.dot_general(
-            ps, v_hi, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
 
-        acc_ref[:, :dh] = acc_ref[:, :dh] * alpha + t_lo - pz
-        acc_ref[:, dh:] = acc_ref[:, dh:] * alpha + t_hi - pz
-        m_ref[...] = jnp.broadcast_to(m_new, m_ref.shape)
-        l_ref[...] = jnp.broadcast_to(l_new, l_ref.shape)
-
-    @pl.when(p == npages - 1)
-    def _():
-        out_ref[0, 0] = (acc_ref[...] /
-                         l_ref[...][:, 0:1]).astype(out_ref.dtype)
+def _paged_q_prep(q, Hkv, sm_scale):
+    B, Hq, D = q.shape
+    G = Hq // Hkv
+    Gp = max(8, G)
+    if sm_scale is None:
+        sm_scale = 1.0 / math.sqrt(D)
+    qg = (q.astype(jnp.float32) * sm_scale).reshape(B, Hkv, G, D)
+    if Gp != G:
+        qg = jnp.pad(qg, ((0, 0), (0, 0), (0, Gp - G), (0, 0)))
+    return qg, G, Gp
 
 
 @functools.partial(jax.jit,
@@ -125,62 +151,12 @@ def int4_paged_decode_attention(q, kq, kp, vq, vp, page_table, lengths, *,
                 ids (masked by lengths).
     lengths:    (B,) int32 valid token counts.
     Returns (B, Hq, D) in q.dtype.
+
+    Delegates to the stacked kernel over an L=1 view ([None] is free).
     """
-    from rsq_tpu.kernels import default_interpret
-    interpret = default_interpret(interpret)
-    B, Hq, D = q.shape
-    P, Hkv, _, page = kq.shape
-    NP = page_table.shape[1]
-    G = Hq // Hkv
-    Gp = max(8, G)
-    if sm_scale is None:
-        sm_scale = 1.0 / math.sqrt(D)
-
-    qg = (q.astype(jnp.float32) * sm_scale).reshape(B, Hkv, G, D)
-    if Gp != G:
-        qg = jnp.pad(qg, ((0, 0), (0, 0), (0, Gp - G), (0, 0)))
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,  # page_table, lengths
-        grid=(B, Hkv, NP),
-        in_specs=[
-            pl.BlockSpec((1, 1, Gp, D), lambda b, h, p, pt, ln: (b, h, 0, 0)),
-            pl.BlockSpec((1, 1, D // 2, page),
-                         lambda b, h, p, pt, ln: (pt[b, p], h, 0, 0)),
-            pl.BlockSpec((1, 1, 2, page),
-                         lambda b, h, p, pt, ln: (pt[b, p], h, 0, 0)),
-            pl.BlockSpec((1, 1, D // 2, page),
-                         lambda b, h, p, pt, ln: (pt[b, p], h, 0, 0)),
-            pl.BlockSpec((1, 1, 2, page),
-                         lambda b, h, p, pt, ln: (pt[b, p], h, 0, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, 1, Gp, D),
-                               lambda b, h, p, pt, ln: (b, h, 0, 0)),
-        scratch_shapes=[
-            pltpu.VMEM((Gp, 128), jnp.float32),
-            pltpu.VMEM((Gp, 128), jnp.float32),
-            pltpu.VMEM((Gp, D), jnp.float32),
-        ],
-    )
-    out = pl.pallas_call(
-        functools.partial(_paged_decode_kernel, page=page, npages=NP),
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, Hkv, Gp, D), q.dtype),
-        interpret=interpret,
-    )(page_table.astype(jnp.int32), lengths.astype(jnp.int32),
-      qg, kq, kp, vq, vp)
-    return out[:, :, :G, :].reshape(B, Hq, D)
-
-
-def _paged_decode_kernel_stk(lyr_ref, ptab_ref, len_ref, q_ref, kq_ref,
-                             kp_ref, vq_ref, vp_ref, out_ref, m_ref, l_ref,
-                             acc_ref, *, page, npages):
-    """Stacked twin of _paged_decode_kernel: pool blocks come from the FULL
-    (L, P, ...) pool selected by the prefetched layer index, so the decode
-    layer loop never slices (= copies) the pool per layer (ADVICE r2 #5)."""
-    _paged_decode_kernel(ptab_ref, len_ref, q_ref, kq_ref.at[0], kp_ref.at[0],
-                         vq_ref.at[0], vp_ref.at[0], out_ref, m_ref, l_ref,
-                         acc_ref, page=page, npages=npages)
+    return int4_paged_decode_attention_stacked(
+        q, kq[None], kp[None], vq[None], vp[None], 0, page_table, lengths,
+        sm_scale=sm_scale, interpret=interpret)
 
 
 @functools.partial(jax.jit,
@@ -190,51 +166,55 @@ def int4_paged_decode_attention_stacked(q, kq_all, kp_all, vq_all, vp_all,
                                         sm_scale=None,
                                         interpret: bool | None = None):
     """int4_paged_decode_attention against layer `layer` of the stacked pool
-    (L, P, Hkv, D/2, page) without slicing it."""
+    (L, P, Hkv, D/2, page) without slicing it (layer rides scalar
+    prefetch)."""
     from rsq_tpu.kernels import default_interpret
     interpret = default_interpret(interpret)
     B, Hq, D = q.shape
     L, P, Hkv, _, page = kq_all.shape
     NP = page_table.shape[1]
-    G = Hq // Hkv
-    Gp = max(8, G)
-    if sm_scale is None:
-        sm_scale = 1.0 / math.sqrt(D)
+    qg, G, Gp = _paged_q_prep(q, Hkv, sm_scale)
 
-    qg = (q.astype(jnp.float32) * sm_scale).reshape(B, Hkv, G, D)
-    if Gp != G:
-        qg = jnp.pad(qg, ((0, 0), (0, 0), (0, Gp - G), (0, 0)))
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,  # layer, page_table, lengths
-        grid=(B, Hkv, NP),
-        in_specs=[
-            pl.BlockSpec((1, 1, Gp, D),
-                         lambda b, h, p, ly, pt, ln: (b, h, 0, 0)),
-            pl.BlockSpec((1, 1, 1, D // 2, page),
-                         lambda b, h, p, ly, pt, ln: (ly[0], pt[b, p], h, 0, 0)),
-            pl.BlockSpec((1, 1, 1, 2, page),
-                         lambda b, h, p, ly, pt, ln: (ly[0], pt[b, p], h, 0, 0)),
-            pl.BlockSpec((1, 1, 1, D // 2, page),
-                         lambda b, h, p, ly, pt, ln: (ly[0], pt[b, p], h, 0, 0)),
-            pl.BlockSpec((1, 1, 1, 2, page),
-                         lambda b, h, p, ly, pt, ln: (ly[0], pt[b, p], h, 0, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, 1, Gp, D),
-                               lambda b, h, p, ly, pt, ln: (b, h, 0, 0)),
-        scratch_shapes=[
-            pltpu.VMEM((Gp, 128), jnp.float32),
-            pltpu.VMEM((Gp, 128), jnp.float32),
-            pltpu.VMEM((Gp, D), jnp.float32),
-        ],
-    )
     out = pl.pallas_call(
-        functools.partial(_paged_decode_kernel_stk, page=page, npages=NP),
-        grid_spec=grid_spec,
+        functools.partial(_paged_kernel_fast, page=page, npages=NP,
+                          heads=Hkv),
+        grid_spec=_paged_grid_spec(B, Hkv, D, page, NP, Gp, with_self=False),
         out_shape=jax.ShapeDtypeStruct((B, Hkv, Gp, D), q.dtype),
         interpret=interpret,
-    )(jnp.asarray(layer, jnp.int32).reshape(1), page_table.astype(jnp.int32),
-      lengths.astype(jnp.int32), qg, kq_all, kp_all, vq_all, vp_all)
+    )(jnp.concatenate([jnp.asarray(layer, jnp.int32).reshape(1),
+                       lengths.astype(jnp.int32)]),
+      page_table.astype(jnp.int32), qg, kq_all, kp_all, vq_all, vp_all)
+    return out[:, :, :G, :].reshape(B, Hq, D)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("sm_scale", "interpret"))
+def int4_paged_decode_attention_stacked_self(q, kq_all, kp_all, vq_all,
+                                             vp_all, layer, page_table,
+                                             lengths, k_self, v_self, *,
+                                             sm_scale=None,
+                                             interpret: bool | None = None):
+    """Stacked paged decode with the CURRENT token's self-attention folded
+    in-kernel.  lengths counts CACHED tokens (the new token is NOT in the
+    pool yet); k_self/v_self: (B, Hkv, D) dequantized cache-basis values of
+    the token being appended.  Returns (B, Hq, D)."""
+    from rsq_tpu.kernels import default_interpret
+    interpret = default_interpret(interpret)
+    B, Hq, D = q.shape
+    L, P, Hkv, _, page = kq_all.shape
+    NP = page_table.shape[1]
+    qg, G, Gp = _paged_q_prep(q, Hkv, sm_scale)
+
+    out = pl.pallas_call(
+        functools.partial(_paged_kernel_fast_self, page=page, npages=NP,
+                          heads=Hkv),
+        grid_spec=_paged_grid_spec(B, Hkv, D, page, NP, Gp, with_self=True),
+        out_shape=jax.ShapeDtypeStruct((B, Hkv, Gp, D), q.dtype),
+        interpret=interpret,
+    )(jnp.concatenate([jnp.asarray(layer, jnp.int32).reshape(1),
+                       lengths.astype(jnp.int32)]),
+      page_table.astype(jnp.int32), qg, kq_all, kp_all, vq_all, vp_all,
+      k_self.astype(jnp.float32), v_self.astype(jnp.float32))
     return out[:, :, :G, :].reshape(B, Hq, D)
 
 
@@ -252,6 +232,73 @@ def int4_paged_decode_attention_reference(q, kq, kp, vq, vp, page_table,
     return int4_decode_attention_reference(
         q, gather(kq), gather(kp), gather(vq), gather(vp), lengths,
         sm_scale=sm_scale)
+
+
+# ---------------------------------------------------------------------------
+# Aliased in-place pool append (decode hot path)
+# ---------------------------------------------------------------------------
+
+def _paged_append_kernel(idx_ref, ptab_ref, *rest):
+    """kv_cache._append_kernel with page-table indirection: the window
+    BlockSpecs resolve (page id, lane block) from the prefetched table, the
+    in-window lane select is identical."""
+    _append_kernel(idx_ref, *rest)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def paged_append_pool(kq, kp, vq, vp, layer, page_table, positions,
+                      nkq, nkp, nvq, nvp, *, interpret: bool | None = None):
+    """Append one token per slot into layer `layer` of the page pool, in
+    place (aliased Pallas windows).  Replaces 4 x B dynamic_update_slice ops
+    per layer per step (the dispatch pathology measured at 1.5 ms/step on
+    the contiguous cache, trace_decode r3).
+
+    kq/vq: (L, P, H, D/2, page) uint8 pools; kp/vp: (L, P, H, 2, page) f32.
+    page_table: (B, NP) int32; positions: (B,) int32 write positions —
+    the target page is page_table[b, pos // page], lane pos % page.
+    Empty slots must point at a scratch page (they overwrite garbage).
+    nkq/nvq: (B, H, D/2, 1) lane-major token values; nkp/nvp: (B, H, 2, 1).
+    Returns the four updated pool arrays."""
+    from rsq_tpu.kernels import default_interpret
+    interpret = default_interpret(interpret)
+    L, P, H, D2, page = kq.shape
+    B = positions.shape[0]
+    scal = jnp.concatenate([jnp.asarray(layer, jnp.int32).reshape(1),
+                            positions.astype(jnp.int32)])
+
+    def cwin(x):
+        return pl.BlockSpec(
+            (1, 1, H, x, 128),
+            lambda b, idx, ptab, x=x: (idx[0],
+                                       ptab[b, idx[1 + b] // page],
+                                       0, 0, (idx[1 + b] % page) // 128))
+
+    def nblk(x):
+        return pl.BlockSpec((1, H, x, 128), lambda b, idx, ptab: (b, 0, 0, 0))
+
+    def bcast(v, dt):
+        return jnp.broadcast_to(v.astype(dt), (*v.shape[:-1], 128))
+
+    return pl.pallas_call(
+        _paged_append_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(B,),
+            in_specs=[cwin(D2), cwin(2), cwin(D2), cwin(2),
+                      nblk(D2), nblk(2), nblk(D2), nblk(2)],
+            out_specs=[cwin(D2), cwin(2), cwin(D2), cwin(2)],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct(kq.shape, kq.dtype),
+            jax.ShapeDtypeStruct(kp.shape, kp.dtype),
+            jax.ShapeDtypeStruct(vq.shape, vq.dtype),
+            jax.ShapeDtypeStruct(vp.shape, vp.dtype),
+        ],
+        input_output_aliases={2: 0, 3: 1, 4: 2, 5: 3},
+        interpret=interpret,
+    )(scal, page_table.astype(jnp.int32), kq, kp, vq, vp,
+      bcast(nkq, kq.dtype), bcast(nkp, kp.dtype),
+      bcast(nvq, vq.dtype), bcast(nvp, vp.dtype))
 
 
 # ---------------------------------------------------------------------------

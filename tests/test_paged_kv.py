@@ -152,3 +152,70 @@ def test_paged_stacked_matches_unstacked():
             q, kq[i], kp[i], vq[i], vp[i], ptab, lengths)
         np.testing.assert_allclose(np.asarray(out), np.asarray(want),
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_paged_stacked_self_fold_matches_append_then_attend():
+    """Self-folding paged decode (pool NOT yet holding the new token) must
+    equal appending the quantized token to the pool first, then attending
+    over lengths+1 — the contract the fast decode path relies on."""
+    rng = np.random.default_rng(11)
+    L, Hkv, D, page, P, B = 2, 2, 64, 128, 8, 3
+    pools = [_random_pool(rng, P, Hkv, D, page) for _ in range(L)]
+    kq = jnp.stack([p[0] for p in pools])
+    kp = jnp.stack([p[1] for p in pools])
+    vq = jnp.stack([p[2] for p in pools])
+    vp = jnp.stack([p[3] for p in pools])
+    ptab = jnp.asarray([[0, 2, 5], [3, 1, 6], [4, 7, 0]], dtype=jnp.int32)
+    lengths = jnp.asarray([page + 7, 2 * page, 0], jnp.int32)
+    q = jnp.asarray(rng.standard_normal((B, Hkv, D)).astype(np.float32))
+
+    knew = jnp.asarray(rng.standard_normal((B, Hkv, 1, D)).astype(np.float32))
+    vnew = jnp.asarray(rng.standard_normal((B, Hkv, 1, D)).astype(np.float32))
+    nkq, nkp = KVK.asym_quant_pack_head(knew)
+    nvq, nvp = KVK.asym_quant_pack_head(vnew)
+    k_self = KVK.unpack_dequant_head(nkq, nkp)[:, :, 0]
+    v_self = KVK.unpack_dequant_head(nvq, nvp)[:, :, 0]
+
+    for i in range(L):
+        got = PKV.int4_paged_decode_attention_stacked_self(
+            q, kq, kp, vq, vp, i, ptab, lengths, k_self, v_self)
+        # oracle: append to the pool, then attend at lengths+1
+        kq2, kp2, vq2, vp2 = PKV.paged_append_pool(
+            kq, kp, vq, vp, i, ptab, lengths,
+            *KVK.to_lane_major(nkq, nkp), *KVK.to_lane_major(nvq, nvp))
+        want = PKV.int4_paged_decode_attention_reference(
+            q, kq2[i], kp2[i], vq2[i], vp2[i], ptab, lengths + 1)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-3, atol=2e-3)
+
+
+def test_paged_append_pool_matches_dus_path():
+    """Aliased Pallas pool append == the jnp dynamic_update_slice path."""
+    rng = np.random.default_rng(12)
+    L, Hkv, D, page, P, B = 2, 2, 64, 256, 6, 2
+    pools = [_random_pool(rng, P, Hkv, D, page) for _ in range(L)]
+    pool = {
+        "kq": jnp.stack([p[0] for p in pools]),
+        "kp": jnp.stack([p[1] for p in pools]),
+        "vq": jnp.stack([p[2] for p in pools]),
+        "vp": jnp.stack([p[3] for p in pools]),
+    }
+    ptab = jnp.asarray([[1, 4, 0], [5, 2, 3]], dtype=jnp.int32)
+    # positions exercising both lane blocks of the 256-token page and a
+    # page boundary crossing
+    positions = jnp.asarray([page + 131, 250], jnp.int32)
+    knew = jnp.asarray(rng.standard_normal((B, Hkv, 1, D)).astype(np.float32))
+    vnew = jnp.asarray(rng.standard_normal((B, Hkv, 1, D)).astype(np.float32))
+    nkq, nkp = KVK.to_lane_major(*KVK.asym_quant_pack_head(knew))
+    nvq, nvp = KVK.to_lane_major(*KVK.asym_quant_pack_head(vnew))
+
+    for layer in range(L):
+        got = PKV.paged_append_pool(pool["kq"], pool["kp"], pool["vq"],
+                                    pool["vp"], layer, ptab, positions,
+                                    nkq, nkp, nvq, nvp)
+        from rsq_tpu.serving.paged import _pool_append_token
+        want = _pool_append_token(dict(pool), layer, ptab, positions,
+                                  nkq, nkp, nvq, nvp)
+        for g, name in zip(got, ("kq", "kp", "vq", "vp")):
+            np.testing.assert_array_equal(np.asarray(g),
+                                          np.asarray(want[name]))
