@@ -545,12 +545,14 @@ def _w4a4_kernel_i8_pref(idx_ref, x_ref, xs_ref, wp_ref, scale_ref, out_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("block_m", "block_n", "block_k",
-                                             "clip_ratio", "interpret"))
+                                             "clip_ratio", "out_dtype",
+                                             "interpret"))
 def w4a4_matmul_paired_stacked(x, wp_all, scale2, layer, token_scale=None, *,
                                clip_ratio: float = 1.0,
                                block_m: int | None = None,
                                block_n: int | None = None,
                                block_k: int | None = None,
+                               out_dtype=None,
                                interpret: bool | None = None):
     """W4A4 matmul against layer `layer` of STACKED weights wp_all
     (L, K, Nh) without slicing them: the layer index is a scalar-prefetch
@@ -606,7 +608,7 @@ def w4a4_matmul_paired_stacked(x, wp_all, scale2, layer, token_scale=None, *,
                                    lambda i, j, k, idx: (i, 0, j)),
             scratch_shapes=[pltpu.VMEM((bm, 2, bn), jnp.int32)],
         ),
-        out_shape=jax.ShapeDtypeStruct((Mp, 2, Nh), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((Mp, 2, Nh), out_dtype or x.dtype),
         interpret=interpret,
     )(jnp.asarray(layer, jnp.int32).reshape(1), x, xs, wp_all, scale2)
     return out3[:M]
@@ -650,11 +652,12 @@ def _w4_kernel_pref(idx_ref, x_ref, wp_ref, scale_ref, out_ref, acc_ref, *,
 
 
 @functools.partial(jax.jit, static_argnames=("block_m", "block_n", "block_k",
-                                             "interpret"))
+                                             "out_dtype", "interpret"))
 def w4_matmul_paired_stacked(x, wp_all, scale2, layer, *,
                              block_m: int | None = None,
                              block_n: int | None = None,
                              block_k: int | None = None,
+                             out_dtype=None,
                              interpret: bool | None = None):
     """Weight-only W4 matmul against layer `layer` of stacked weights
     (L, K, Nh) without slicing them (scalar-prefetch index; see
@@ -691,7 +694,7 @@ def w4_matmul_paired_stacked(x, wp_all, scale2, layer, *,
                                    lambda i, j, k, idx: (i, 0, j)),
             scratch_shapes=[pltpu.VMEM((bm, 2, bn), jnp.float32)],
         ),
-        out_shape=jax.ShapeDtypeStruct((Mp, 2, Nh), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((Mp, 2, Nh), out_dtype or x.dtype),
         interpret=interpret,
     )(jnp.asarray(layer, jnp.int32).reshape(1), x, wp_all, scale2)
     return out3[:M]
@@ -731,12 +734,13 @@ def _w4_affine_kernel_pref(idx_ref, x_ref, xsum_ref, wp_ref, sh_ref, out_ref,
 
 @functools.partial(jax.jit, static_argnames=("zero", "block_m", "block_n",
                                              "block_k", "plane_major",
-                                             "interpret"))
+                                             "out_dtype", "interpret"))
 def w4_affine_matmul_stacked(x, wp_all, sh_all, layer, *, zero: float = 0.5,
                              block_m: int | None = None,
                              block_n: int | None = None,
                              block_k: int | None = None,
                              plane_major: bool = False,
+                             out_dtype=None,
                              interpret: bool | None = None):
     """w4_affine_matmul against layer `layer` of stacked (L, K, Nh) weights
     + (L,) per-layer scalar scales, copy-free (scalar-prefetch index)."""
@@ -775,7 +779,7 @@ def w4_affine_matmul_stacked(x, wp_all, sh_all, layer, *, zero: float = 0.5,
                                    lambda i, j, k, idx: (i, 0, j)),
             scratch_shapes=[pltpu.VMEM((bm, 2, bn), jnp.float32)],
         ),
-        out_shape=jax.ShapeDtypeStruct((Mp, 2, Nh), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((Mp, 2, Nh), out_dtype or x.dtype),
         interpret=interpret,
     )(jnp.asarray(layer, jnp.int32).reshape(1), x, xsum, wp_all,
       jnp.asarray(sh_all, jnp.float32).reshape(-1))
@@ -805,10 +809,11 @@ def _w16_kernel_pref(idx_ref, x_ref, w_ref, out_ref, acc_ref, *, nsteps_k):
 
 
 @functools.partial(jax.jit, static_argnames=("block_m", "block_n", "block_k",
-                                             "interpret"))
+                                             "out_dtype", "interpret"))
 def w16_matmul_stacked(x, w_all, layer, *, block_m: int | None = None,
                        block_n: int | None = None,
                        block_k: int | None = None,
+                       out_dtype=None,
                        interpret: bool | None = None):
     """y = x @ w_all[layer] for stacked DENSE (L, K, N) 16-bit weights,
     copy-free (the layer index is a scalar-prefetch operand; a w_all[layer]
@@ -820,7 +825,7 @@ def w16_matmul_stacked(x, w_all, layer, *, block_m: int | None = None,
     M, K = x.shape
     L, Kw, N = w_all.shape
     assert K == Kw
-    out_dtype = x.dtype
+    out_dtype = out_dtype or x.dtype
 
     # bf16 tiles are 2x the packed-int4 bytes: decode keeps the wide-N
     # streaming shape but halves K (2 MB double-buffered window); prefill
