@@ -39,7 +39,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from rsq_tpu.kernels.kv_cache import (
-    MASK_VALUE, _append_kernel, _attend_chunks, _self_fold_finalize,
+    MASK_VALUE, _attend_chunks, _self_fold_finalize,
     _unpack_u4_bf16, asym_quant_pack_head, to_lane_major,
     unpack_dequant_head)
 
@@ -238,11 +238,28 @@ def int4_paged_decode_attention_reference(q, kq, kp, vq, vp, page_table,
 # Aliased in-place pool append (decode hot path)
 # ---------------------------------------------------------------------------
 
-def _paged_append_kernel(idx_ref, ptab_ref, *rest):
+def _paged_append_kernel(idx_ref, ptab_ref, kqc_ref, kpc_ref, vqc_ref,
+                         vpc_ref, nkq_ref, nkp_ref, nvq_ref, nvp_ref,
+                         okq_ref, okp_ref, ovq_ref, ovp_ref, *, lane_mod):
     """kv_cache._append_kernel with page-table indirection: the window
-    BlockSpecs resolve (page id, lane block) from the prefetched table, the
-    in-window lane select is identical."""
-    _append_kernel(idx_ref, *rest)
+    BlockSpecs resolve (page id, lane block) from the prefetched table.
+    lane_mod = window width = min(page, 128): the in-window column is
+    pos % lane_mod (for page < 128 the window IS the page, so pos % page;
+    for page a multiple of 128 the window is the 128-lane block holding
+    pos, so pos % 128 — kv_cache._append_kernel's fixed %128 would write
+    out of the page for small pages, silently dropping appends)."""
+    b = pl.program_id(0)
+    col = idx_ref[1 + b] % lane_mod
+
+    def wr(o_ref, c_ref, n_ref):
+        h, x, w = n_ref.shape[1:]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (h, x, w), 2)
+        o_ref[0, 0] = jnp.where(lane == col, n_ref[0], c_ref[0, 0])
+
+    wr(okq_ref, kqc_ref, nkq_ref)
+    wr(okp_ref, kpc_ref, nkp_ref)
+    wr(ovq_ref, vqc_ref, nvq_ref)
+    wr(ovp_ref, vpc_ref, nvp_ref)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -263,24 +280,29 @@ def paged_append_pool(kq, kp, vq, vp, layer, page_table, positions,
     interpret = default_interpret(interpret)
     L, P, H, D2, page = kq.shape
     B = positions.shape[0]
+    if page >= 128:
+        assert page % 128 == 0, "page sizes over 128 must be 128-multiples"
+        w = 128
+    else:
+        w = page  # window = the whole (sub-128-lane) page
     scal = jnp.concatenate([jnp.asarray(layer, jnp.int32).reshape(1),
                             positions.astype(jnp.int32)])
 
     def cwin(x):
         return pl.BlockSpec(
-            (1, 1, H, x, 128),
+            (1, 1, H, x, w),
             lambda b, idx, ptab, x=x: (idx[0],
                                        ptab[b, idx[1 + b] // page],
-                                       0, 0, (idx[1 + b] % page) // 128))
+                                       0, 0, (idx[1 + b] % page) // w))
 
     def nblk(x):
-        return pl.BlockSpec((1, H, x, 128), lambda b, idx, ptab: (b, 0, 0, 0))
+        return pl.BlockSpec((1, H, x, w), lambda b, idx, ptab: (b, 0, 0, 0))
 
     def bcast(v, dt):
-        return jnp.broadcast_to(v.astype(dt), (*v.shape[:-1], 128))
+        return jnp.broadcast_to(v.astype(dt), (*v.shape[:-1], w))
 
     return pl.pallas_call(
-        _paged_append_kernel,
+        functools.partial(_paged_append_kernel, lane_mod=w),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(B,),

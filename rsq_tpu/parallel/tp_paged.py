@@ -34,17 +34,12 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from rsq_tpu.core.hadamard import hadamard_transform_last
 from rsq_tpu.kernels import paged_kv as PKV
-from rsq_tpu.models import llama as M
-from rsq_tpu.models.config import ModelConfig
-from rsq_tpu.parallel.tp import (_mix_heads, _mix_intermediate,
-                                 serving_param_specs)
-from rsq_tpu.serving.model import ServingConfig, serving_linear
+from rsq_tpu.parallel.tp import stacked_param_specs
+from rsq_tpu.serving.model import ServingConfig
 from rsq_tpu.serving.native import make_page_allocator
-from rsq_tpu.serving.paged import (PagedRequest, _pool_append_token,
-                                   _pool_write_pages, _gather_layer_prefix,
-                                   prefix_hashes)
+from rsq_tpu.serving.paged import (PagedRequest, _decode_paged_local,
+                                   _prefill_paged_local, prefix_hashes)
 
 
 def pool_specs():
@@ -62,164 +57,36 @@ def shard_pool(pool, mesh: Mesh):
 # shard_map-local steps
 # ---------------------------------------------------------------------------
 
-def _tp_attn_out(lp, attn, hd, cfg, sc, decode=None):
-    if sc.online_had:
-        attn = _mix_heads(attn, hd, cfg)
-    o = serving_linear(attn, lp["o"], sc, tp_axis="tp", decode=decode)
-    return jax.lax.psum(o, "tp")
-
-
-def _tp_mlp(lp, h2, cfg, sc, decode=None):
-    up = serving_linear(h2, lp["up"], sc, decode=decode)
-    gate = serving_linear(h2, lp["gate"], sc, decode=decode)
-    act = jax.nn.silu(gate.astype(jnp.float32)).astype(h2.dtype) * up
-    if sc.online_had:
-        act = _mix_intermediate(act, cfg)
-    down = serving_linear(act, lp["down"], sc, tp_axis="tp", decode=decode)
-    return jax.lax.psum(down, "tp")
-
-
-def _local_decode_paged(params, pool, page_tables, lengths, token_ids,
-                        sc: ServingConfig):
-    """One decode step on LOCAL shards: B_l slots, H_l kv heads."""
-    cfg = sc.cfg
-    tp = jax.lax.axis_size("tp")
-    B = token_ids.shape[0]
-    hd = cfg.head_dim_
-    nq_l = cfg.num_attention_heads // tp
-    nkv_l = cfg.num_key_value_heads // tp
-
-    x = params["embed"][token_ids][:, None, :].astype(jnp.bfloat16)
-    cos_t, sin_t = M.rope_tables(cfg, jnp.arange(sc.max_seq))
-    cos = cos_t[lengths][:, None, :]
-    sin = sin_t[lengths][:, None, :]
-
-    for i, lp in enumerate(params["layers"]):
-        h = M.rms_norm(x, lp.get("input_norm"), cfg.rms_norm_eps)
-        q = serving_linear(h, lp["q"], sc, decode=True).reshape(B, 1, nq_l, hd)
-        k = serving_linear(h, lp["k"], sc, decode=True).reshape(B, 1, nkv_l, hd)
-        v = serving_linear(h, lp["v"], sc, decode=True).reshape(B, 1, nkv_l, hd)
-        q = M.apply_rope(q, cos, sin)
-        k = M.apply_rope(k, cos, sin)
-        kb = jnp.swapaxes(k, 1, 2)                   # (B, H_l, 1, D)
-        vb = jnp.swapaxes(v, 1, 2)
-        if sc.kv_hadamard:
-            kb = hadamard_transform_last(kb)
-        kq_, kp_ = PKV.to_lane_major(*PKV.asym_quant_pack_head(kb))
-        vq_, vp_ = PKV.to_lane_major(*PKV.asym_quant_pack_head(vb))
-        pool = _pool_append_token(pool, i, page_tables, lengths,
-                                  kq_, kp_, vq_, vp_)
-        qh = q.reshape(B, nq_l, hd)
-        if sc.kv_hadamard:
-            qh = hadamard_transform_last(qh)
-        attn = PKV.int4_paged_decode_attention_stacked(
-            qh, pool["kq"], pool["kp"], pool["vq"], pool["vp"], i,
-            page_tables, lengths + 1)
-        attn = attn.reshape(B, 1, nq_l * hd)
-        x = x + _tp_attn_out(lp, attn, hd, cfg, sc, decode=True).astype(x.dtype)
-        h2 = M.rms_norm(x, lp.get("post_norm"), cfg.rms_norm_eps)
-        x = x + _tp_mlp(lp, h2, cfg, sc, decode=True).astype(x.dtype)
-
-    x = M.rms_norm(x, params.get("final_norm"), cfg.rms_norm_eps)
-    logits = (x @ params["lm_head"].astype(x.dtype))[:, 0]
-    return logits, pool
-
-
-def _local_prefill_paged(params, pool, page_row, null_page, input_tail,
-                         group, sc: ServingConfig, prefix_pages: int,
-                         prefix_len: int, prompt_len: int):
-    """Chunked per-request prefill on the full mesh.  `group` selects which
-    dp group's pool is written; other groups' page rows are redirected to
-    their scratch page so their (identical) compute lands nowhere."""
-    cfg = sc.cfg
-    tp = jax.lax.axis_size("tp")
-    page = pool["kq"].shape[-1]
-    st = input_tail.shape[1]
-    n_tail_pages = st // page
-    hd = cfg.head_dim_
-    nq_l = cfg.num_attention_heads // tp
-    nkv_l = cfg.num_key_value_heads // tp
-
-    mine = jax.lax.axis_index("dp") == group
-    row = jnp.where(mine, page_row, jnp.broadcast_to(null_page[0],
-                                                     page_row.shape))
-
-    x = params["embed"][input_tail].astype(jnp.bfloat16)
-    positions = prefix_len + jnp.arange(st)
-    cos, sin = M.rope_tables(cfg, positions)
-    qpos = positions[:, None]
-    kpos = jnp.arange(prefix_len + st)[None, :]
-    mask = jnp.where(kpos <= qpos, 0.0, -1e30).astype(jnp.float32)
-    nrep = nq_l // nkv_l
-    tail_ids = row[prefix_pages:prefix_pages + n_tail_pages]
-
-    for i, lp in enumerate(params["layers"]):
-        h = M.rms_norm(x, lp.get("input_norm"), cfg.rms_norm_eps)
-        q = serving_linear(h, lp["q"], sc, decode=False).reshape(1, st, nq_l, hd)
-        k = serving_linear(h, lp["k"], sc, decode=False).reshape(1, st, nkv_l, hd)
-        v = serving_linear(h, lp["v"], sc, decode=False).reshape(1, st, nkv_l, hd)
-        q = M.apply_rope(q, cos, sin)
-        k = M.apply_rope(k, cos, sin)
-        kb = jnp.swapaxes(k, 1, 2)                   # (1, H_l, St, D)
-        vb = jnp.swapaxes(v, 1, 2)
-        if not sc.kv_int4:
-            raise NotImplementedError("paged engine requires kv_int4")
-        kq_, kp_ = PKV.quantize_prompt(kb, hadamard=sc.kv_hadamard)
-        vq_, vp_ = PKV.quantize_prompt(vb, hadamard=False)
-        pool = _pool_write_pages(pool, i, tail_ids,
-                                 kq_[0], kp_[0], vq_[0], vp_[0])
-        if prefix_pages:
-            qr = (hadamard_transform_last(jnp.swapaxes(q, 1, 2))
-                  if sc.kv_hadamard else jnp.swapaxes(q, 1, 2))
-            qr = jnp.swapaxes(qr, 1, 2)
-            kr = hadamard_transform_last(kb) if sc.kv_hadamard else kb
-            kr = jnp.swapaxes(kr, 1, 2)
-            pk, pv = _gather_layer_prefix(pool, i, row[:prefix_pages])
-            keys = jnp.concatenate([pk.astype(qr.dtype),
-                                    kr.astype(qr.dtype)], axis=1)
-            vals = jnp.concatenate([pv.astype(qr.dtype),
-                                    vb.swapaxes(1, 2).astype(qr.dtype)],
-                                   axis=1)
-            attn = M.attention(qr, M.repeat_kv(keys, nrep),
-                               M.repeat_kv(vals, nrep), mask)
-        else:
-            attn = M.attention(q, M.repeat_kv(k, nrep),
-                               M.repeat_kv(v, nrep), mask[:, prefix_len:])
-        attn = attn.reshape(1, st, nq_l * hd)
-        x = x + _tp_attn_out(lp, attn, hd, cfg, sc, decode=False).astype(x.dtype)
-        h2 = M.rms_norm(x, lp.get("post_norm"), cfg.rms_norm_eps)
-        x = x + _tp_mlp(lp, h2, cfg, sc, decode=False).astype(x.dtype)
-
-    last = prompt_len - prefix_len - 1  # static
-    x = M.rms_norm(x[:, last:last + 1], params.get("final_norm"),
-                   cfg.rms_norm_eps)
-    logits = (x @ params["lm_head"].astype(x.dtype))[:, 0]  # (1, V)
-    return logits, pool
-
-
 def make_paged_tp_step(params, pool, mesh: Mesh, sc: ServingConfig):
-    """Jitted shard_map'd (prefill, decode) for the paged TP engine.
+    """Jitted shard_map'd (prefill, decode) for the paged TP engine, running
+    the SAME copy-free fast bodies as the single-device paged engine
+    (serving.paged._decode_paged_local / _prefill_paged_local with
+    tp_axis="tp"): stacked scalar-prefetch weight kernels, merged-heads
+    self-fold paged attention, aliased pool appends.
 
     decode(params, pool, page_tables (B, NP), lengths (B,), tokens (B,))
         -> (logits (B, V), pool)
     prefill(params, pool, page_row (NP,), null_pages (dp,), tail (1, St),
             group ()) -> (logits (dp, V), pool)   [static kwargs via partial]
     """
-    pspecs = serving_param_specs(params)
+    pspecs = stacked_param_specs(params)
     plspecs = pool_specs()
 
     decode = jax.jit(jax.shard_map(
-        partial(_local_decode_paged, sc=sc), mesh=mesh,
+        partial(_decode_paged_local, sc=sc, tp_axis="tp"), mesh=mesh,
         in_specs=(pspecs, plspecs, P("dp"), P("dp"), P("dp")),
         out_specs=(P("dp", None), plspecs),
         check_vma=False))
 
     def prefill(params, pool, page_row, null_pages, tail, group, *,
                 prefix_pages, prefix_len, prompt_len):
+        def body(params, pool, page_row, null_page, tail, group):
+            return _prefill_paged_local(
+                params, pool, page_row, tail, sc, prefix_pages, prefix_len,
+                prompt_len, tp_axis="tp", null_page=null_page, group=group)
+
         fn = jax.shard_map(
-            partial(_local_prefill_paged, sc=sc, prefix_pages=prefix_pages,
-                    prefix_len=prefix_len, prompt_len=prompt_len),
-            mesh=mesh,
+            body, mesh=mesh,
             in_specs=(pspecs, plspecs, P(None), P("dp"), P(None, None), P()),
             out_specs=(P("dp", None), plspecs),
             check_vma=False)
@@ -245,8 +112,10 @@ class PagedTPEngine:
     def __init__(self, params, sc: ServingConfig, mesh: Mesh,
                  num_slots: int = 8, num_pages: int | None = None,
                  page_size: int = 128, eos_token: int | None = None,
-                 prefix_caching: bool = True):
+                 prefix_caching: bool = True,
+                 record_logits: bool = False):
         assert sc.kv_int4, "paged engine serves the INT4 cache"
+        self.record_logits = record_logits
         cfg = sc.cfg
         self.mesh = mesh
         self.dp = mesh.shape["dp"]
@@ -263,8 +132,11 @@ class PagedTPEngine:
         assert num_pages % self.dp == 0
         self.pages_per_group = num_pages // self.dp
 
-        from rsq_tpu.parallel.tp import shard_params
-        self.params = shard_params(params, mesh)
+        from rsq_tpu.parallel.tp import shard_params_stacked
+        if "layers_stacked" not in params:
+            from rsq_tpu.serving.model import stack_layer_params
+            params = stack_layer_params(params)
+        self.params = shard_params_stacked(params, mesh)
         pool = PKV.init_pool(cfg.num_layers, num_pages,
                              cfg.num_key_value_heads, cfg.head_dim_,
                              page_size)
@@ -344,6 +216,8 @@ class PagedTPEngine:
 
         tok = int(jnp.argmax(logits))
         req.output.append(tok)
+        if self.record_logits:
+            req.logit_trace.append(np.asarray(logits, np.float32))
         req.pages = pages
         req.reused_pages = prefix_pages
         self.slots[slot] = req
@@ -386,6 +260,8 @@ class PagedTPEngine:
                 continue
             tok = int(toks[slot])
             req.output.append(tok)
+            if self.record_logits:
+                req.logit_trace.append(np.asarray(logits[slot], np.float32))
             self.next_tok[slot] = tok
             hit_eos = self.eos is not None and tok == self.eos
             if (len(req.output) >= req.max_new_tokens or hit_eos

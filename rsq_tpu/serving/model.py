@@ -623,6 +623,34 @@ def _linear_fast(x2, p, i, sc: ServingConfig, tp_axis: str | None = None,
     return y
 
 
+def _fast_path_helpers(cfg: ModelConfig, tp_axis: str | None):
+    """Shared plumbing of the fast serving bodies: (tp, local head counts,
+    online-Hadamard mixers, row-parallel finalizer).  With tp_axis=None the
+    mixers are the local transforms and row_out is the identity."""
+    hd = cfg.head_dim_
+    tp = jax.lax.axis_size(tp_axis) if tp_axis is not None else 1
+    nq = cfg.num_attention_heads // tp
+    nkv = cfg.num_key_value_heads // tp
+    if tp_axis is not None:
+        from rsq_tpu.parallel.tp import _mix_heads, _mix_intermediate
+        mix_heads = partial(_mix_heads, hd=hd, cfg=cfg, axis_name=tp_axis)
+        mix_act = partial(_mix_intermediate, cfg=cfg, axis_name=tp_axis)
+    else:
+        mix_heads = partial(head_mixing_hadamard, head_dim=hd)
+
+        def mix_act(act):
+            from rsq_tpu.kernels.hadamard_mxu import hadamard_transform
+            return hadamard_transform(act)
+
+    def row_out(y, xdt):
+        """Finalize a row-parallel partial: psum over tp, cast back."""
+        if tp_axis is None:
+            return y
+        return jax.lax.psum(y, tp_axis).astype(xdt)
+
+    return tp, nq, nkv, mix_heads, mix_act, row_out
+
+
 def _decode_step_fast(params, cache, token_ids, sc: ServingConfig,
                       tp_axis: str | None = None):
     """Copy-free stacked decode step.  With tp_axis set it runs as the
@@ -640,26 +668,7 @@ def _decode_step_fast(params, cache, token_ids, sc: ServingConfig,
     pos = length
     b = token_ids.shape[0]
     hd = cfg.head_dim_
-    tp = jax.lax.axis_size(tp_axis) if tp_axis is not None else 1
-    nq = cfg.num_attention_heads // tp
-    nkv = cfg.num_key_value_heads // tp
-    if tp_axis is not None:
-        from rsq_tpu.parallel.tp import _mix_heads, _mix_intermediate
-        mix_heads = partial(_mix_heads, hd=cfg.head_dim_, cfg=cfg,
-                            axis_name=tp_axis)
-        mix_act = partial(_mix_intermediate, cfg=cfg, axis_name=tp_axis)
-    else:
-        mix_heads = partial(head_mixing_hadamard, head_dim=hd)
-
-        def mix_act(act):
-            from rsq_tpu.kernels.hadamard_mxu import hadamard_transform
-            return hadamard_transform(act)
-
-    def row_out(y, xdt):
-        """Finalize a row-parallel partial: psum over tp, cast back."""
-        if tp_axis is None:
-            return y
-        return jax.lax.psum(y, tp_axis).astype(xdt)
+    tp, nq, nkv, mix_heads, mix_act, row_out = _fast_path_helpers(cfg, tp_axis)
 
     x = params["embed"][token_ids][:, None, :].astype(jnp.bfloat16)
     cos, sin = M.rope_tables(cfg, pos)
@@ -767,27 +776,10 @@ def _prefill_fast(params, cache, input_ids, sc: ServingConfig,
     ls = params["layers_stacked"]
     b, s = input_ids.shape
     hd = cfg.head_dim_
-    tp = jax.lax.axis_size(tp_axis) if tp_axis is not None else 1
-    nq = cfg.num_attention_heads // tp
-    nkv = cfg.num_key_value_heads // tp
+    tp, nq, nkv, mix_heads, mix_act, row_out = _fast_path_helpers(cfg, tp_axis)
     nrep = nq // nkv
     kv4 = "kq" in cache
     L = cache["kq" if kv4 else "k"].shape[0]
-    if tp_axis is not None:
-        from rsq_tpu.parallel.tp import _mix_heads, _mix_intermediate
-        mix_heads = partial(_mix_heads, hd=hd, cfg=cfg, axis_name=tp_axis)
-        mix_act = partial(_mix_intermediate, cfg=cfg, axis_name=tp_axis)
-    else:
-        mix_heads = partial(head_mixing_hadamard, head_dim=hd)
-
-        def mix_act(act):
-            from rsq_tpu.kernels.hadamard_mxu import hadamard_transform
-            return hadamard_transform(act)
-
-    def row_out(y, xdt):
-        if tp_axis is None:
-            return y
-        return jax.lax.psum(y, tp_axis).astype(xdt)
 
     x = params["embed"][input_ids].astype(jnp.bfloat16)
     cos, sin = M.rope_tables(cfg, jnp.arange(s))

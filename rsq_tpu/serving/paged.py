@@ -194,6 +194,217 @@ def prefill_paged(params, pool, page_row, input_tail, sc: ServingConfig,
     return logits, pool
 
 
+# ---------------------------------------------------------------------------
+# Copy-free fast paged forwards (stacked params; single-device AND the
+# shard_map-local TP body via tp_axis — see serving.model._decode_step_fast).
+# The per-layer-loop versions below them are kept as oracles.
+# ---------------------------------------------------------------------------
+
+def _prefill_paged_local(params, pool, page_row, input_tail,
+                         sc: ServingConfig, prefix_pages: int,
+                         prefix_len: int, prompt_len: int,
+                         tp_axis: str | None = None, null_page=None,
+                         group=None, dp_axis: str = "dp"):
+    """Chunked prefill over STACKED params: python loop over static layer
+    indices through the scalar-prefetch kernels — no per-layer weight
+    slices (VERDICT r3 weak #1 applied to the paged engine).  Under TP
+    (tp_axis set) `group` selects which dp group's pool is written; other
+    groups redirect their page row to their scratch page."""
+    from rsq_tpu.serving.model import _fast_path_helpers, _linear_fast, _sl
+    cfg = sc.cfg
+    ls = params["layers_stacked"]
+    page = pool["kq"].shape[-1]
+    L = pool["kq"].shape[0]
+    st = input_tail.shape[1]
+    n_tail_pages = st // page
+    hd = cfg.head_dim_
+    tp, nq, nkv, mix_heads, mix_act, row_out = _fast_path_helpers(cfg,
+                                                                  tp_axis)
+    nrep = nq // nkv
+
+    row = page_row
+    if tp_axis is not None and group is not None:
+        mine = jax.lax.axis_index(dp_axis) == group
+        row = jnp.where(mine, page_row,
+                        jnp.broadcast_to(null_page[0], page_row.shape))
+
+    x = params["embed"][input_tail].astype(jnp.bfloat16)
+    positions = prefix_len + jnp.arange(st)
+    cos, sin = M.rope_tables(cfg, positions)
+    qpos = positions[:, None]
+    kpos = jnp.arange(prefix_len + st)[None, :]
+    mask = jnp.where(kpos <= qpos, 0.0, -1e30).astype(jnp.float32)
+    tail_ids = row[prefix_pages:prefix_pages + n_tail_pages]
+
+    for i in range(L):
+        h = M.rms_norm(x, _sl(ls.get("input_norm"), i), cfg.rms_norm_eps)
+        h2d = h.reshape(st, -1)
+        if "qkv" in ls:
+            q, k, v = _linear_fast(h2d, ls["qkv"], i, sc)
+        else:
+            q = _linear_fast(h2d, ls["q"], i, sc)
+            k = _linear_fast(h2d, ls["k"], i, sc)
+            v = _linear_fast(h2d, ls["v"], i, sc)
+        q = M.apply_rope(q.reshape(1, st, nq, hd), cos, sin)
+        k = M.apply_rope(k.reshape(1, st, nkv, hd), cos, sin)
+        v = v.reshape(1, st, nkv, hd)
+
+        kb = jnp.swapaxes(k, 1, 2)               # (1, H_l, St, D)
+        vb = jnp.swapaxes(v, 1, 2)
+        if not sc.kv_int4:
+            raise NotImplementedError("paged engine requires kv_int4")
+        kq_, kp_ = PKV.quantize_prompt(kb, hadamard=sc.kv_hadamard)
+        vq_, vp_ = PKV.quantize_prompt(vb, hadamard=False)
+        pool = _pool_write_pages(pool, i, tail_ids,
+                                 kq_[0], kp_[0], vq_[0], vp_[0])
+        if prefix_pages:
+            qr = (hadamard_transform_last(jnp.swapaxes(q, 1, 2))
+                  if sc.kv_hadamard else jnp.swapaxes(q, 1, 2))
+            qr = jnp.swapaxes(qr, 1, 2)          # rotated q (1, St, Hq_l, D)
+            kr = hadamard_transform_last(kb) if sc.kv_hadamard else kb
+            kr = jnp.swapaxes(kr, 1, 2)          # rotated tail K
+            pk, pv = _gather_layer_prefix(pool, i, row[:prefix_pages])
+            keys = jnp.concatenate([pk.astype(qr.dtype),
+                                    kr.astype(qr.dtype)], axis=1)
+            vals = jnp.concatenate([pv.astype(qr.dtype),
+                                    vb.swapaxes(1, 2).astype(qr.dtype)],
+                                   axis=1)
+            attn = M.attention(qr, M.repeat_kv(keys, nrep),
+                               M.repeat_kv(vals, nrep), mask)
+        else:
+            attn = M.attention(q, M.repeat_kv(k, nrep),
+                               M.repeat_kv(v, nrep), mask[:, prefix_len:])
+        attn = attn.reshape(1, st, nq * hd)
+        if sc.online_had:
+            attn = mix_heads(attn)
+        o = _linear_fast(attn.reshape(st, -1), ls["o"], i, sc,
+                         tp_axis=tp_axis, row=True)
+        o = row_out(o, x.dtype)
+        x = x + o.reshape(1, st, -1).astype(x.dtype)
+
+        h2 = M.rms_norm(x, _sl(ls.get("post_norm"), i), cfg.rms_norm_eps)
+        h2d2 = h2.reshape(st, -1)
+        if "upgate" in ls:
+            up, gate = _linear_fast(h2d2, ls["upgate"], i, sc)
+        else:
+            up = _linear_fast(h2d2, ls["up"], i, sc)
+            gate = _linear_fast(h2d2, ls["gate"], i, sc)
+        act = jax.nn.silu(gate.astype(jnp.float32)).astype(h2.dtype) * up
+        if sc.online_had:
+            act = mix_act(act)
+        down = _linear_fast(act.reshape(st, -1), ls["down"], i, sc,
+                            tp_axis=tp_axis, row=True)
+        down = row_out(down, x.dtype)
+        x = x + down.reshape(1, st, -1).astype(x.dtype)
+
+    last = prompt_len - prefix_len - 1  # static
+    x = M.rms_norm(x[:, last:last + 1], params.get("final_norm"),
+                   cfg.rms_norm_eps)
+    logits = (x @ params["lm_head"].astype(x.dtype))[:, 0]
+    return logits, pool
+
+
+@partial(jax.jit, static_argnames=("sc", "prefix_pages", "prompt_len",
+                                   "prefix_len"))
+def prefill_paged_fast(params, pool, page_row, input_tail, sc: ServingConfig,
+                       prefix_pages: int, prefix_len: int, prompt_len: int):
+    """Single-device jitted wrapper of the fast paged prefill.  Returns
+    (last-token logits (V,), pool)."""
+    logits, pool = _prefill_paged_local(
+        params, pool, page_row, input_tail, sc, prefix_pages, prefix_len,
+        prompt_len)
+    return logits[0], pool
+
+
+def _decode_paged_local(params, pool, page_tables, lengths, token_ids,
+                        sc: ServingConfig, tp_axis: str | None = None):
+    """One joint decode step over all slots, copy-free: fori_loop over
+    layers with scalar-prefetch stacked weights, in-kernel self-fold paged
+    attention (pool read-only), ONE aliased Pallas pool append per layer."""
+    from rsq_tpu.serving.model import _fast_path_helpers, _linear_fast, _sl
+    cfg = sc.cfg
+    ls = params["layers_stacked"]
+    L = pool["kq"].shape[0]
+    b = token_ids.shape[0]
+    hd = cfg.head_dim_
+    tp, nq, nkv, mix_heads, mix_act, row_out = _fast_path_helpers(cfg,
+                                                                  tp_axis)
+
+    x = params["embed"][token_ids][:, None, :].astype(jnp.bfloat16)
+    cos, sin = M.rope_tables(cfg, lengths)
+    cos, sin = cos[:, None, :], sin[:, None, :]
+
+    def body(i, carry):
+        x, pool = carry
+        h = M.rms_norm(x, _sl(ls.get("input_norm"), i), cfg.rms_norm_eps)
+        h2d = h.reshape(b, -1)
+        if "qkv" in ls:
+            q, k, v = _linear_fast(h2d, ls["qkv"], i, sc)
+        else:
+            q = _linear_fast(h2d, ls["q"], i, sc)
+            k = _linear_fast(h2d, ls["k"], i, sc)
+            v = _linear_fast(h2d, ls["v"], i, sc)
+        q = M.apply_rope(q.reshape(b, 1, nq, hd), cos, sin)
+        k = M.apply_rope(k.reshape(b, 1, nkv, hd), cos, sin)
+        kb = jnp.swapaxes(k, 1, 2)               # (B, H_l, 1, D)
+        vb = jnp.swapaxes(v.reshape(b, 1, nkv, hd), 1, 2)
+        qh = q.reshape(b, nq, hd)
+        if sc.kv_hadamard:
+            kb = hadamard_transform_last(kb)
+            qh = hadamard_transform_last(qh)
+        kq_t, kp_t = PKV.asym_quant_pack_head(kb)   # token-major
+        vq_t, vp_t = PKV.asym_quant_pack_head(vb)
+        k_self = PKV.unpack_dequant_head(kq_t, kp_t)[:, :, 0]  # (B, H, D)
+        v_self = PKV.unpack_dequant_head(vq_t, vp_t)[:, :, 0]
+        attn = PKV.int4_paged_decode_attention_stacked_self(
+            qh, pool["kq"], pool["kp"], pool["vq"], pool["vp"], i,
+            page_tables, lengths, k_self, v_self)
+
+        kq_, kp_ = PKV.to_lane_major(kq_t, kp_t)
+        vq_, vp_ = PKV.to_lane_major(vq_t, vp_t)
+        pool = dict(pool)
+        pool["kq"], pool["kp"], pool["vq"], pool["vp"] = \
+            PKV.paged_append_pool(pool["kq"], pool["kp"], pool["vq"],
+                                  pool["vp"], i, page_tables, lengths,
+                                  kq_, kp_, vq_, vp_)
+
+        attn = attn.reshape(b, 1, nq * hd)
+        if sc.online_had:
+            attn = mix_heads(attn)
+        o = _linear_fast(attn.reshape(b, -1), ls["o"], i, sc,
+                         tp_axis=tp_axis, row=True)
+        o = row_out(o, x.dtype)
+        x = x + o.reshape(b, 1, -1).astype(x.dtype)
+
+        h2 = M.rms_norm(x, _sl(ls.get("post_norm"), i), cfg.rms_norm_eps)
+        h2d2 = h2.reshape(b, -1)
+        if "upgate" in ls:
+            up, gate = _linear_fast(h2d2, ls["upgate"], i, sc)
+        else:
+            up = _linear_fast(h2d2, ls["up"], i, sc)
+            gate = _linear_fast(h2d2, ls["gate"], i, sc)
+        act = jax.nn.silu(gate.astype(jnp.float32)).astype(h2.dtype) * up
+        if sc.online_had:
+            act = mix_act(act)
+        down = _linear_fast(act.reshape(b, -1), ls["down"], i, sc,
+                            tp_axis=tp_axis, row=True)
+        down = row_out(down, x.dtype)
+        return (x + down.reshape(b, 1, -1).astype(x.dtype), pool)
+
+    x, pool = jax.lax.fori_loop(0, L, body, (x, pool))
+    x = M.rms_norm(x, params.get("final_norm"), cfg.rms_norm_eps)
+    logits = (x @ params["lm_head"].astype(x.dtype))[:, 0]
+    return logits, pool
+
+
+@partial(jax.jit, static_argnames=("sc",))
+def decode_step_paged_fast(params, pool, page_tables, lengths, token_ids,
+                           sc: ServingConfig):
+    """Single-device jitted wrapper of the fast paged decode step."""
+    return _decode_paged_local(params, pool, page_tables, lengths,
+                               token_ids, sc)
+
+
 @partial(jax.jit, static_argnames=("sc",))
 def decode_step_paged(params, pool, page_tables, lengths, token_ids,
                       sc: ServingConfig):
@@ -249,6 +460,11 @@ class PagedRequest:
     pages: list = dataclasses.field(default_factory=list)
     reused_pages: int = 0
     done: bool = False
+    # filled only when the engine runs with record_logits=True: the logits
+    # vector that produced each entry of `output` (tests use it to verify
+    # that cross-engine trajectory divergences are argmax near-ties, not
+    # numerical bugs)
+    logit_trace: list = dataclasses.field(default_factory=list)
 
 
 class PagedServingEngine:
@@ -257,9 +473,16 @@ class PagedServingEngine:
     def __init__(self, params, sc: ServingConfig, num_slots: int = 8,
                  num_pages: int | None = None, page_size: int = 128,
                  eos_token: int | None = None,
-                 prefix_caching: bool = True):
+                 prefix_caching: bool = True,
+                 record_logits: bool = False):
         assert sc.kv_int4, "paged engine serves the INT4 cache"
+        self.record_logits = record_logits
         cfg = sc.cfg
+        # the engine runs the copy-free stacked fast path; accept either
+        # layout and stack once here
+        if "layers_stacked" not in params:
+            from rsq_tpu.serving.model import stack_layer_params
+            params = stack_layer_params(params)
         self.params = params
         self.sc = sc
         self.page = page_size
@@ -325,7 +548,7 @@ class PagedServingEngine:
 
         row = np.full((self.np_per_slot,), self.null_page, np.int32)
         row[:len(pages)] = pages
-        logits, self.pool = prefill_paged(
+        logits, self.pool = prefill_paged_fast(
             self.params, self.pool, jnp.asarray(row),
             jnp.asarray(tail_pad), self.sc,
             prefix_pages=prefix_pages, prefix_len=prefix_len,
@@ -343,6 +566,8 @@ class PagedServingEngine:
 
         tok = int(jnp.argmax(logits))
         req.output.append(tok)
+        if self.record_logits:
+            req.logit_trace.append(np.asarray(logits, np.float32))
         req.pages = pages
         req.reused_pages = prefix_pages
         self.slots[slot] = req
@@ -373,7 +598,7 @@ class PagedServingEngine:
         self._admit()
         if all(s is None for s in self.slots):
             return []
-        logits, self.pool = decode_step_paged(
+        logits, self.pool = decode_step_paged_fast(
             self.params, self.pool, jnp.asarray(self.page_tables),
             jnp.asarray(self.lengths), jnp.asarray(self.next_tok), self.sc)
         self.lengths += 1
@@ -384,6 +609,8 @@ class PagedServingEngine:
                 continue
             tok = int(toks[slot])
             req.output.append(tok)
+            if self.record_logits:
+                req.logit_trace.append(np.asarray(logits[slot], np.float32))
             self.next_tok[slot] = tok
             hit_eos = self.eos is not None and tok == self.eos
             if (len(req.output) >= req.max_new_tokens or hit_eos

@@ -219,3 +219,35 @@ def test_paged_append_pool_matches_dus_path():
         for g, name in zip(got, ("kq", "kp", "vq", "vp")):
             np.testing.assert_array_equal(np.asarray(g),
                                           np.asarray(want[name]))
+
+
+def test_paged_append_pool_small_pages_cross_boundary():
+    """Regression: with page < 128 the append window is the page itself and
+    the in-window column is pos %% page — the fixed %%128 column of the
+    contiguous append kernel silently dropped any append past the first
+    page (positions 8..., page_size 8), which surfaced as nondeterministic
+    paged-TP trajectories."""
+    rng = np.random.default_rng(13)
+    L, Hkv, D, page, P, B = 1, 2, 64, 8, 6, 2
+    pools = [_random_pool(rng, P, Hkv, D, page) for _ in range(L)]
+    pool = {
+        "kq": jnp.stack([p[0] for p in pools]),
+        "kp": jnp.stack([p[1] for p in pools]),
+        "vq": jnp.stack([p[2] for p in pools]),
+        "vp": jnp.stack([p[3] for p in pools]),
+    }
+    ptab = jnp.asarray([[1, 4, 2], [5, 2, 3]], dtype=jnp.int32)
+    positions = jnp.asarray([9, 17], jnp.int32)  # pages 1 and 2, cols 1, 1
+    knew = jnp.asarray(rng.standard_normal((B, Hkv, 1, D)).astype(np.float32))
+    vnew = jnp.asarray(rng.standard_normal((B, Hkv, 1, D)).astype(np.float32))
+    nkq, nkp = KVK.to_lane_major(*KVK.asym_quant_pack_head(knew))
+    nvq, nvp = KVK.to_lane_major(*KVK.asym_quant_pack_head(vnew))
+
+    got = PKV.paged_append_pool(pool["kq"], pool["kp"], pool["vq"],
+                                pool["vp"], 0, ptab, positions,
+                                nkq, nkp, nvq, nvp)
+    from rsq_tpu.serving.paged import _pool_append_token
+    want = _pool_append_token(dict(pool), 0, ptab, positions,
+                              nkq, nkp, nvq, nvp)
+    for g, name in zip(got, ("kq", "kp", "vq", "vp")):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(want[name]))
