@@ -35,19 +35,18 @@ from rsq_tpu.serving.model import (
 # Varlen decode step (per-slot positions)
 # ---------------------------------------------------------------------------
 
-# decode_step itself now supports per-slot lengths (per-slot rope positions
-# + batched scatter appends in serving.model._append_decode); the engine
-# uses it directly.
-from rsq_tpu.serving.model import decode_step as decode_step_varlen  # noqa: E402
+# the stacked fast path supports per-slot lengths natively (per-slot rope
+# positions, lengths-driven kernels, aliased per-slot appends); the engine
+# runs it directly so evals measure the same code as the bench
+# (VERDICT r3 weak #7).
+from rsq_tpu.serving.model import decode_step_stacked as decode_step_varlen  # noqa: E402
 
 
 @partial(jax.jit, static_argnames=("sc", "slot"))
 def prefill_into_slot(params, cache, input_ids, sc: ServingConfig, slot: int):
     """Prefill ONE sequence into cache slot `slot`, leaving other slots
     untouched. input_ids: (1, S_prompt). Returns (logits, cache)."""
-    from rsq_tpu.serving.model import prefill as _prefill, init_cache as _ic
-    cfg = sc.cfg
-    s = input_ids.shape[1]
+    from rsq_tpu.serving.model import prefill_fast as _prefill
     sub = {k: (v[:, slot:slot + 1] if k != "length" else v[slot:slot + 1])
            for k, v in cache.items()}
     sub["length"] = jnp.zeros((1,), jnp.int32)
@@ -78,6 +77,9 @@ class ServingEngine:
 
     def __init__(self, params, sc: ServingConfig, num_slots: int = 8,
                  eos_token: int | None = None):
+        if "layers_stacked" not in params:
+            from rsq_tpu.serving.model import stack_layer_params
+            params = stack_layer_params(params)
         self.params = params
         self.sc = sc
         self.num_slots = num_slots

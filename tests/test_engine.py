@@ -69,7 +69,8 @@ def test_varlen_decode_matches_uniform(tiny_serving):
     logits, cache = S.prefill(sparams, cache, ids, sc)
     tok = jnp.argmax(logits, axis=-1)
     l_uniform, _ = S.decode_step(sparams, cache, tok, sc)
-    l_varlen, _ = decode_step_varlen(sparams, cache, tok, sc)
+    l_varlen, _ = decode_step_varlen(S.stack_layer_params(sparams), cache,
+                                     tok, sc)
     np.testing.assert_allclose(np.asarray(l_uniform, np.float32),
                                np.asarray(l_varlen, np.float32),
                                rtol=2e-2, atol=2e-2)
