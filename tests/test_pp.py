@@ -82,3 +82,21 @@ def test_ppl_pp_matches_fullmodel(mesh):
     want = ppl_fullmodel(params, cfg, FP16, stream, val_seqlen=16, bsz=8)
     got = ppl_pp(params, cfg, FP16, stream, val_seqlen=16, mesh=mesh, bsz=8)
     assert abs(got - want) / want < 1e-3
+
+
+@pytest.mark.parametrize("n_micro", [8, 16])
+def test_pp_sharded_activation_schedule_matches_oracle(mesh, n_micro):
+    """pp | n_micro engages the activation-sharded schedule (cyclic
+    microbatch sharding + rotating queues, no replicated xs / psum).  Must
+    match the single-device forward exactly like the legacy path."""
+    cfg = ModelConfig.tiny(num_layers=8)
+    params = M.init_params(cfg, jax.random.PRNGKey(3), scale=0.05)
+    ids = jnp.asarray(np.random.default_rng(3).integers(
+        0, cfg.vocab_size, (n_micro, 16)))  # 1 sequence per microbatch
+    want = np.asarray(M.forward(params, ids, cfg, FP16))
+
+    stacked = pp.stack_layers(params["layers"])
+    stacked = pp.shard_stacked_layers(stacked, mesh)
+    fwd = pp.make_pp_forward(cfg, FP16, mesh, n_micro=n_micro)
+    got = np.asarray(fwd(params, stacked, ids))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
