@@ -129,18 +129,25 @@ def synthetic_cache(sc, batch, fill_len=512):
 
 
 def measure_decode(params, sc, batch, n1=8, n2=32, repeats=3):
-    """Per-decode-step seconds via scan-length differencing."""
+    """Per-decode-step seconds via scan-length differencing.
+
+    The cache is built INSIDE the jitted program (its construction cost
+    cancels exactly in the n2-n1 differencing): as a loop-local temporary
+    XLA can alias its buffers freely, where a donated-or-not argument
+    cache kept a second copy alive — the allocation that OOM'd batch 64
+    (BENCHMARKS r3 §5)."""
     import jax
     import jax.numpy as jnp
     from rsq_tpu.serving import model as S
 
-    # leave room for the decode appends (n2 steps past the fill)
-    cache = synthetic_cache(sc, batch, fill_len=min(512, sc.max_seq // 2))
+    fill = min(512, sc.max_seq // 2)
 
     @jax.jit
-    def run(params, cache, tok, n):
+    def run(params, tok, n):
         # DYNAMIC trip count: one compiled program serves every n (each
         # additional program costs minutes of remote compile here)
+        cache = synthetic_cache(sc, batch, fill_len=fill)
+
         def body(i, carry):
             cache, tok = carry
             logits, cache = S.decode_step_stacked(params, cache, tok, sc)
@@ -150,15 +157,65 @@ def measure_decode(params, sc, batch, n1=8, n2=32, repeats=3):
 
     tok0 = jnp.zeros((batch,), jnp.int32)
     # warm the single compile
-    np.asarray(run(params, cache, tok0, n1))
-    np.asarray(run(params, cache, tok0, n2))
+    np.asarray(run(params, tok0, n1))
+    np.asarray(run(params, tok0, n2))
     best = None
     for _ in range(repeats):
         t0 = time.perf_counter()
-        np.asarray(run(params, cache, tok0, n1))
+        np.asarray(run(params, tok0, n1))
         t1 = time.perf_counter() - t0
         t0 = time.perf_counter()
-        np.asarray(run(params, cache, tok0, n2))
+        np.asarray(run(params, tok0, n2))
+        t2 = time.perf_counter() - t0
+        dt = (t2 - t1) / (n2 - n1)
+        best = dt if best is None else min(best, dt)
+    return best
+
+
+def measure_decode_paged(params, sc, batch, page=512, n1=8, n2=32,
+                         repeats=3):
+    """Per-step seconds of the PAGED fast decode (the north-star serving
+    path: continuous batching over the page pool).  Same differencing
+    discipline as measure_decode; pool + tables built inside the jit."""
+    import jax
+    import jax.numpy as jnp
+    from rsq_tpu.kernels import paged_kv as PKV
+    from rsq_tpu.serving.paged import decode_step_paged_fast
+
+    cfg = sc.cfg
+    nps = -(-sc.max_seq // page)
+    num_pages = batch * nps + 1
+    fill = min(512, sc.max_seq // 2)
+    ptab_np = (1 + np.arange(batch * nps)).reshape(batch, nps)
+
+    @jax.jit
+    def run(params, tok, n):
+        k1, k2 = jax.random.split(jax.random.PRNGKey(1))
+        pool = PKV.init_pool(cfg.num_layers, num_pages,
+                             cfg.num_key_value_heads, cfg.head_dim_, page)
+        pool["kq"] = jax.random.bits(k1, pool["kq"].shape, dtype=jnp.uint8)
+        pool["vq"] = jax.random.bits(k2, pool["vq"].shape, dtype=jnp.uint8)
+        ptab = jnp.asarray(ptab_np, jnp.int32)
+        lengths = jnp.full((batch,), fill, jnp.int32)
+
+        def body(i, carry):
+            pool, tok, ln = carry
+            logits, pool = decode_step_paged_fast(params, pool, ptab, ln,
+                                                  tok, sc)
+            return (pool, jnp.argmax(logits, axis=-1), ln + 1)
+        pool, tok, _ = jax.lax.fori_loop(0, n, body, (pool, tok, lengths))
+        return tok
+
+    tok0 = jnp.zeros((batch,), jnp.int32)
+    np.asarray(run(params, tok0, n1))
+    np.asarray(run(params, tok0, n2))
+    best = None
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        np.asarray(run(params, tok0, n1))
+        t1 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        np.asarray(run(params, tok0, n2))
         t2 = time.perf_counter() - t0
         dt = (t2 - t1) / (n2 - n1)
         best = dt if best is None else min(best, dt)
@@ -210,35 +267,53 @@ def main():
     # vs_baseline and must never cost us the value (round-1 bench OOM'd in
     # the bf16 stage, round-2 hit a compile-service 500 there — both times
     # the recorded value was null although int4 had measured fine).
+    # HEADLINE = the PAGED fast decode (the north-star serving path:
+    # continuous batching over the page pool), page 512: pool pages are
+    # fully contiguous HBM blocks where the contiguous cache's chunk DMAs
+    # stride across the S axis — measured FASTER (7.07 vs 8.78 ms/step,
+    # r4 paged_bench).
     _log("building int4 32L params")
     p32 = build_int4_params(cfg32)
-    _log("measuring int4 32L decode")
-    t32 = measure_decode(p32, sc32, batch)
-    _log(f"int4 32L step={t32*1e3:.2f} ms; freeing")
-    del p32
-    gc.collect()
-
+    int8_head = os.environ.get("RSQ_INT8_LMHEAD") == "1"
+    if int8_head:
+        from rsq_tpu.serving.model import quantize_lm_head
+        p32 = quantize_lm_head(p32)
+        _log("lm_head quantized to int8 (RSQ_INT8_LMHEAD=1)")
+    _log("measuring paged int4 32L decode (page 512)")
+    t32 = measure_decode_paged(p32, sc32, batch, page=512)
+    _log(f"paged int4 32L step={t32*1e3:.2f} ms")
     _RESULT.update({
         "metric": "decode_tokens_per_sec_per_chip_llama3_8b_w4a4kv4",
         "value": round(batch / t32, 1), "unit": "tok/s",
         "vs_baseline": None,
-        "detail": {"batch": batch, "max_seq": max_seq,
-                   "step_ms_int4_32L": round(t32 * 1e3, 3)},
+        "detail": {"batch": batch, "max_seq": max_seq, "path": "paged",
+                   "page": 512, "int8_lmhead": int8_head,
+                   "step_ms_int4_32L_paged": round(t32 * 1e3, 3)},
     })
     if fast:
         _RESULT["detail"]["fast_mode"] = True
         _emit()
         return
 
-    # bf16 baseline: 32L bf16 (16 GB weights+emb) cannot fit in HBM, and
-    # even 16L OOMs alongside its cache, so measure at TWO reduced depths
-    # (8 and 12 layers, ~5.7/7.8 GB resident) and extrapolate per-layer cost
-    # + fixed overhead to 32 layers — a two-point fit on the bf16 path
-    # itself, not borrowed from the int4 run.  Each depth is guarded: with
-    # one point the fixed overhead is assumed zero (conservative — it
-    # UNDERSTATES the baseline, so vs_baseline can only be pessimistic).
+    try:
+        _log("measuring contiguous int4 32L decode")
+        t32c = measure_decode(p32, sc32, batch)
+        _RESULT["detail"]["step_ms_int4_32L_contiguous"] = round(t32c * 1e3,
+                                                                3)
+        _log(f"contiguous int4 32L step={t32c*1e3:.2f} ms")
+    except Exception as e:  # noqa: BLE001
+        _RESULT["detail"]["contiguous_error"] = repr(e)[:160]
+    del p32
+    gc.collect()
+
+    # bf16 baseline: 32L bf16 (16 GB weights+emb) cannot fit in HBM, so
+    # measure at REDUCED depths and extrapolate per-layer cost + fixed
+    # overhead to 32 layers.  The fit uses (8, 12); the 16L point (fits
+    # now that the cache is jit-local) VALIDATES the fit's linearity —
+    # measured-vs-predicted error is recorded, and if it exceeds 5% the
+    # baseline switches to the (8, 16)-anchored fit (VERDICT r3 #3).
     bf_times = {}
-    for nl in (8, 12):
+    for nl in (8, 12, 16):
         try:
             cfgN = dataclasses.replace(cfg32, num_layers=nl)
             scN = S.ServingConfig(model=cfgN, a4=False, kv_int4=False,
@@ -258,15 +333,28 @@ def main():
             _RESULT["detail"][f"bf16_{nl}L_error"] = repr(e)[:160]
             gc.collect()
 
-    if len(bf_times) == 2:
-        layer_bf16 = max(bf_times[12] - bf_times[8], 1e-9) / 4.0
-        overhead_bf = max(bf_times[8] - 8.0 * layer_bf16, 0.0)
-        tb32_est = overhead_bf + 32.0 * layer_bf16
+    def fit32(a, b):
+        layer = max(bf_times[b] - bf_times[a], 1e-9) / float(b - a)
+        overhead = max(bf_times[a] - a * layer, 0.0)
+        return overhead + 32.0 * layer
+
+    tb32_est = None
+    if 8 in bf_times and 12 in bf_times:
+        tb32_est = fit32(8, 12)
+        if 16 in bf_times:
+            pred16 = (bf_times[8]
+                      + (bf_times[12] - bf_times[8]) / 4.0 * 8.0)
+            err = abs(pred16 - bf_times[16]) / bf_times[16]
+            _RESULT["detail"]["bf16_fit_err_at_16L"] = round(err, 4)
+            if err > 0.05:
+                tb32_est = fit32(8, 16)
+                _RESULT["detail"]["bf16_fit_anchor"] = "8-16"
+    elif len(bf_times) >= 2:
+        ks = sorted(bf_times)
+        tb32_est = fit32(ks[0], ks[-1])
     elif bf_times:
         nl, t = next(iter(bf_times.items()))
         tb32_est = t * 32.0 / nl
-    else:
-        tb32_est = None
 
     if tb32_est is not None:
         _RESULT["vs_baseline"] = round(tb32_est / t32, 3)

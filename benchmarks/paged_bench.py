@@ -82,6 +82,9 @@ def main():
     ap.add_argument("--fill", type=int, default=512)
     ap.add_argument("--contiguous", action="store_true",
                     help="also measure the contiguous fast path")
+    ap.add_argument("--interleave", type=int, default=0, metavar="N",
+                    help="N alternating contiguous/paged rounds (first "
+                         "--pages entry) to cancel chip-level drift")
     args = ap.parse_args()
 
     import os
@@ -96,6 +99,27 @@ def main():
     cfg = ModelConfig.llama3_8b()
     sc = S.ServingConfig(model=cfg, a4=True, kv_int4=True, kv_hadamard=True,
                          online_had=True, max_seq=args.max_seq)
+
+    if args.interleave:
+        # A/B the contiguous path against ONE page size, alternating
+        # measurements in a single process so chip-level drift (tunnel,
+        # frequency) cancels — single-shot runs showed ±10-20% swings.
+        page = int(args.pages.split(",")[0])
+        p = B.build_int4_params(cfg)
+        rows = []
+        for r in range(args.interleave):
+            tc = B.measure_decode(p, sc, args.batch, repeats=1)
+            tp = run_paged(cfg, sc, args.batch, page, args.fill, repeats=1)
+            rows.append((tc, tp))
+            print(json.dumps({"round": r, "contig_ms": round(tc * 1e3, 3),
+                              "paged_ms": round(tp * 1e3, 3)}), flush=True)
+        bc = min(t for t, _ in rows)
+        bp = min(t for _, t in rows)
+        print(json.dumps({"path": "interleaved", "page": page,
+                          "batch": args.batch,
+                          "contig_ms_best": round(bc * 1e3, 3),
+                          "paged_ms_best": round(bp * 1e3, 3)}), flush=True)
+        return
 
     if args.contiguous:
         p = B.build_int4_params(cfg)

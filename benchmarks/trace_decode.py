@@ -80,6 +80,9 @@ def main():
     ap.add_argument("--steps", type=int, default=8)
     ap.add_argument("--top", type=int, default=25)
     ap.add_argument("--outdir", default="/tmp/rsq_trace")
+    ap.add_argument("--paged", type=int, default=0, metavar="PAGE",
+                    help="trace the paged fast decode with this page size "
+                         "instead of the contiguous path")
     args = ap.parse_args()
 
     import dataclasses
@@ -98,23 +101,55 @@ def main():
     sc = S.ServingConfig(model=cfg, a4=True, kv_int4=True, kv_hadamard=True,
                          online_had=True, max_seq=args.seq)
     params = BB.build_int4_params(cfg)
-    cache = BB.synthetic_cache(sc, args.batch)
     tok = jnp.zeros((args.batch,), jnp.int32)
 
-    @jax.jit
-    def run(params, cache, tok, n):
-        def body(i, carry):
-            cache, tok = carry
-            logits, cache = S.decode_step_stacked(params, cache, tok, sc)
-            return (cache, jnp.argmax(logits, axis=-1))
-        cache, tok = jax.lax.fori_loop(0, n, body, (cache, tok))
-        return tok
+    if args.paged:
+        from rsq_tpu.kernels import paged_kv as PKV
+        from rsq_tpu.serving.paged import decode_step_paged_fast
+        page = args.paged
+        nps = -(-sc.max_seq // page)
+        pool = PKV.init_pool(cfg.num_layers, args.batch * nps + 1,
+                             cfg.num_key_value_heads, cfg.head_dim_, page)
+        k1, k2 = jax.random.split(jax.random.PRNGKey(1))
+        pool["kq"] = jax.random.bits(k1, pool["kq"].shape, dtype=jnp.uint8)
+        pool["vq"] = jax.random.bits(k2, pool["vq"].shape, dtype=jnp.uint8)
+        ptab = jnp.asarray(
+            (1 + np.arange(args.batch * nps)).reshape(args.batch, nps),
+            jnp.int32)
+        lengths0 = jnp.full((args.batch,), min(512, sc.max_seq // 2),
+                            jnp.int32)
 
-    # warm compile
-    np.asarray(run(params, cache, tok, 2))
+        @jax.jit
+        def run(params, pool, tok, n):
+            def body(i, carry):
+                pool, tok, ln = carry
+                logits, pool = decode_step_paged_fast(params, pool, ptab,
+                                                      ln, tok, sc)
+                return (pool, jnp.argmax(logits, axis=-1), ln + 1)
+            pool, tok, _ = jax.lax.fori_loop(0, n, body,
+                                             (pool, tok, lengths0))
+            return tok
 
-    capture(lambda: np.asarray(run(params, cache, tok, args.steps)),
-            args.outdir)
+        np.asarray(run(params, pool, tok, 2))
+        capture(lambda: np.asarray(run(params, pool, tok, args.steps)),
+                args.outdir)
+    else:
+        cache = BB.synthetic_cache(sc, args.batch)
+
+        @jax.jit
+        def run(params, cache, tok, n):
+            def body(i, carry):
+                cache, tok = carry
+                logits, cache = S.decode_step_stacked(params, cache, tok, sc)
+                return (cache, jnp.argmax(logits, axis=-1))
+            cache, tok = jax.lax.fori_loop(0, n, body, (cache, tok))
+            return tok
+
+        # warm compile
+        np.asarray(run(params, cache, tok, 2))
+
+        capture(lambda: np.asarray(run(params, cache, tok, args.steps)),
+                args.outdir)
 
     per_op, per_op_n = load_events(args.outdir)
     total = sum(per_op.values())

@@ -105,6 +105,25 @@ def _build_parser():
     e.add_argument("--bsz", type=int, default=8)
     for name, d in [("--a-bits", 16), ("--v-bits", 16), ("--k-bits", 16)]:
         e.add_argument(name, type=int, default=d)
+
+    s = sub.add_parser(
+        "serve", help="serve a saved quantized checkpoint through the "
+                      "paged continuous-batching engine (the e2e/benchmark "
+                      "role of the reference)")
+    s.add_argument("--load", required=True)
+    s.add_argument("--num-slots", type=int, default=8)
+    s.add_argument("--page-size", type=int, default=512)
+    s.add_argument("--max-seq", type=int, default=2048)
+    s.add_argument("--max-new-tokens", type=int, default=64)
+    s.add_argument("--requests", type=int, default=16,
+                   help="number of synthetic prompt requests")
+    s.add_argument("--prompt-len", type=int, default=128)
+    s.add_argument("--tp", type=int, default=1,
+                   help="tensor-parallel chips (PagedTPEngine over a "
+                        "(1, tp) mesh when > 1)")
+    s.add_argument("--no-a4", action="store_true",
+                   help="skip activation quantization (W4A16KV4)")
+    s.add_argument("--seed", type=int, default=0)
     return p
 
 
@@ -239,13 +258,58 @@ def cmd_eval(a):
     print(json.dumps({"ppl": ppl, "dataset": a.eval_dataset}))
 
 
+def cmd_serve(a):
+    """Throughput run of the paged continuous-batching engine on a saved
+    checkpoint (counterpart of the reference's e2e/benchmark.py:89-183,
+    which times prefill/decode of its packed-INT4 model)."""
+    import numpy as np
+    from rsq_tpu.quantize.checkpoint import load_quantized
+    from rsq_tpu.serving import model as S
+    from rsq_tpu.serving.params import to_serving_params
+    from rsq_tpu.serving.paged import PagedServingEngine
+
+    params, quantizers, cfg, manifest = load_quantized(a.load)
+    sparams = to_serving_params(params, quantizers, cfg)
+    sc = S.ServingConfig(model=cfg, a4=not a.no_a4, kv_int4=True,
+                         kv_hadamard=True,
+                         online_had=manifest.get("rotate", False),
+                         max_seq=a.max_seq)
+    rng = np.random.default_rng(a.seed)
+    prompts = [rng.integers(0, cfg.vocab_size, size=a.prompt_len)
+               for _ in range(a.requests)]
+
+    if a.tp > 1:
+        from rsq_tpu.parallel.tp import make_mesh
+        from rsq_tpu.parallel.tp_paged import PagedTPEngine
+        eng = PagedTPEngine(sparams, sc, make_mesh(a.tp, dp=1),
+                            num_slots=a.num_slots, page_size=a.page_size)
+    else:
+        eng = PagedServingEngine(sparams, sc, num_slots=a.num_slots,
+                                 page_size=a.page_size)
+    for p in prompts:
+        eng.add_request(p, max_new_tokens=a.max_new_tokens)
+    t0 = time.time()
+    done = eng.run_until_done()
+    dt = time.time() - t0
+    new_tokens = sum(len(r.output) for r in done)
+    out = {"requests": len(done), "new_tokens": new_tokens,
+           "seconds": round(dt, 2),
+           "tok_per_sec": round(new_tokens / dt, 1),
+           "num_slots": a.num_slots, "page_size": a.page_size,
+           "cache_stats": eng.cache_stats}
+    print(json.dumps(out))
+    return out
+
+
 def main(argv=None):
     logging.basicConfig(level=logging.INFO, format="%(message)s")
     a = _build_parser().parse_args(argv)
     if a.cmd == "quantize":
-        cmd_quantize(a)
+        return cmd_quantize(a)
     elif a.cmd == "eval":
-        cmd_eval(a)
+        return cmd_eval(a)
+    elif a.cmd == "serve":
+        return cmd_serve(a)
 
 
 if __name__ == "__main__":

@@ -863,6 +863,83 @@ def w16_matmul_stacked(x, w_all, layer, *, block_m: int | None = None,
     return out[:M]
 
 
+def _w8_kernel(x_ref, w_ref, scale_ref, out_ref, acc_ref, *, nsteps_k):
+    """Weight-only INT8 matmul: int8 weight tiles convert to bf16 in VMEM
+    (HBM reads stay 1 byte/weight), per-output-channel scale epilogue.
+    Built for the lm_head: its bf16 read is 1.05 GB = 24% of the decode
+    step's memory floor (BENCHMARKS r3 §1); int8 halves it."""
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    w = w_ref[...].astype(jnp.bfloat16)
+    acc_ref[...] += jnp.dot(x_ref[...], w,
+                            preferred_element_type=jnp.float32)
+
+    @pl.when(k == nsteps_k - 1)
+    def _():
+        out_ref[...] = (acc_ref[...]
+                        * scale_ref[...].astype(jnp.float32)
+                        ).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_m", "block_n", "block_k",
+                                             "out_dtype", "interpret"))
+def w8_matmul(x, w8, scale, *, block_m: int | None = None,
+              block_n: int | None = None, block_k: int | None = None,
+              out_dtype=None, interpret: bool | None = None):
+    """y = (x @ w8) * scale for DENSE int8 weights (K, N) with per-channel
+    f32 scales (N,).  x: (M, K) bf16."""
+    from rsq_tpu.kernels import default_interpret
+    interpret = default_interpret(interpret)
+    M, K = x.shape
+    Kw, N = w8.shape
+    assert K == Kw
+    out_dtype = out_dtype or x.dtype
+
+    bm = min(block_m or 128, _round_up(M, 16))
+    decode = M <= 32
+    bn = _divisor_block(N, block_n or (2048 if decode else 512))
+    bk = _divisor_block(K, block_k or 512)
+    pm = (-M) % bm
+    if pm:
+        x = jnp.pad(x, ((0, pm), (0, 0)))
+    Mp = x.shape[0]
+    nk = K // bk
+
+    grid = (Mp // bm, N // bn, nk)
+    out = pl.pallas_call(
+        functools.partial(_w8_kernel, nsteps_k=nk),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda i, j, k: (i, k)),
+            pl.BlockSpec((bk, bn), lambda i, j, k: (k, j)),
+            pl.BlockSpec((1, bn), lambda i, j, k: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j)),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        out_shape=jax.ShapeDtypeStruct((Mp, N), out_dtype),
+        interpret=interpret,
+    )(x.astype(jnp.bfloat16), w8, scale.reshape(1, N))
+    return out[:M]
+
+
+def w8_quantize(w, axis: int = 0):
+    """Per-output-channel symmetric int8 quantization of a dense (K, N)
+    matrix (axis = reduction axis).  Returns (w8 int8, scale (N,) f32)."""
+    absmax = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=axis)
+    scale = jnp.where(absmax == 0, 1.0, absmax / 127.0)
+    w8 = jnp.clip(jnp.round(w.astype(jnp.float32) / scale), -127, 127)
+    return w8.astype(jnp.int8), scale.astype(jnp.float32)
+
+
+def w8_matmul_reference(x, w8, scale):
+    return (x.astype(jnp.float32) @ w8.astype(jnp.float32)
+            * scale.astype(jnp.float32)[None, :]).astype(x.dtype)
+
+
 @functools.partial(jax.jit, static_argnames=("block_m", "block_n", "block_k",
                                              "clip_ratio", "decode",
                                              "interpret", "mxu_int8"))

@@ -77,12 +77,15 @@ def serving_param_specs(params):
             else:
                 out[name] = P() if p is not None else None
         return out
-    return {
+    out = {
         "embed": P(),
         "final_norm": P() if params["final_norm"] is not None else None,
-        "lm_head": P(),
         "layers": [layer_spec(lp) for lp in params["layers"]],
     }
+    for k in ("lm_head", "lm_head_q", "lm_head_scale"):
+        if k in params:
+            out[k] = P()
+    return out
 
 
 def cache_specs(cache):
@@ -304,7 +307,8 @@ def _prefill_local(params, cache, input_ids, sc: ServingConfig):
         x, cache = _local_prefill_layer(lp, x, cache, i, cos, sin, mask, cfg, sc)
     cache["length"] = cache["length"] + s
     x = M.rms_norm(x[:, -1:], params.get("final_norm"), cfg.rms_norm_eps)
-    logits = (x @ params["lm_head"].astype(x.dtype))[:, 0]
+    from rsq_tpu.serving.model import lm_head_logits
+    logits = lm_head_logits(params, x)[:, 0]
     return logits, cache
 
 
@@ -318,7 +322,8 @@ def _decode_local(params, cache, token_ids, sc: ServingConfig):
         x, cache = _local_decode_layer(lp, x, cache, i, cos, sin, pos, cfg, sc)
     cache["length"] = cache["length"] + 1
     x = M.rms_norm(x, params.get("final_norm"), cfg.rms_norm_eps)
-    logits = (x @ params["lm_head"].astype(x.dtype))[:, 0]
+    from rsq_tpu.serving.model import lm_head_logits
+    logits = lm_head_logits(params, x)[:, 0]
     return logits, cache
 
 
@@ -351,12 +356,15 @@ def stacked_param_specs(params):
             lspec[name] = linear_spec(name, p)
         else:
             lspec[name] = P() if p is not None else None
-    return {
+    out = {
         "embed": P(),
         "final_norm": P() if params["final_norm"] is not None else None,
-        "lm_head": P(),
         "layers_stacked": lspec,
     }
+    for k in ("lm_head", "lm_head_q", "lm_head_scale"):
+        if k in params:
+            out[k] = P()
+    return out
 
 
 def shard_params_stacked(params, mesh: Mesh):

@@ -149,6 +149,36 @@ def serving_linear_fused(x, p, sc: ServingConfig,
     return outs
 
 
+
+def lm_head_logits(params, x):
+    """Final-projection logits: (..., d) -> (..., V).  With an int8-
+    quantized head (quantize_lm_head) the Pallas w8 kernel reads the
+    weights at 1 byte each — the bf16 head is 1.05 GB/step, 24% of the
+    decode memory floor (BENCHMARKS r3 §1; VERDICT r3 weak #4)."""
+    lead = x.shape[:-1]
+    x2 = x.reshape(-1, x.shape[-1])
+    if "lm_head_q" in params:
+        from rsq_tpu.kernels.matmul_w4 import w8_matmul
+        y = w8_matmul(x2.astype(jnp.bfloat16), params["lm_head_q"],
+                      params["lm_head_scale"])
+    else:
+        y = x2 @ params["lm_head"].astype(x2.dtype)
+    return y.reshape(*lead, y.shape[-1])
+
+
+def quantize_lm_head(params):
+    """Opt-in per-channel symmetric int8 lm_head (replaces "lm_head" with
+    "lm_head_q"/"lm_head_scale"; serving forwards dispatch on the keys).
+    The reference keeps lm_head fp16 (gptq_utils.py:547-565 skips it);
+    this is an extra knob whose PPL impact is test-gated to be tiny."""
+    from rsq_tpu.kernels.matmul_w4 import w8_quantize
+    out = dict(params)
+    w8, scale = w8_quantize(out.pop("lm_head"))
+    out["lm_head_q"] = w8
+    out["lm_head_scale"] = scale
+    return out
+
+
 # ---------------------------------------------------------------------------
 # KV cache
 # ---------------------------------------------------------------------------
@@ -323,7 +353,7 @@ def prefill(params, cache, input_ids, sc: ServingConfig):
         x, cache = prefill_layer(lp, x, cache, i, cos, sin, mask, cfg, sc)
     cache["length"] = cache["length"] + s
     x = M.rms_norm(x[:, -1:], params.get("final_norm"), cfg.rms_norm_eps)
-    logits = x @ params["lm_head"].astype(x.dtype)
+    logits = lm_head_logits(params, x)
     return logits[:, 0], cache
 
 
@@ -342,7 +372,7 @@ def decode_step(params, cache, token_ids, sc: ServingConfig):
         x, cache = decode_layer(lp, x, cache, i, cos, sin, pos, cfg, sc)
     cache["length"] = cache["length"] + 1
     x = M.rms_norm(x, params.get("final_norm"), cfg.rms_norm_eps)
-    logits = (x @ params["lm_head"].astype(x.dtype))[:, 0]
+    logits = lm_head_logits(params, x)[:, 0]
     return logits, cache
 
 
@@ -475,7 +505,7 @@ def prefill_stacked(params, cache, input_ids, sc: ServingConfig):
     cache = dict(per_layer)
     cache["length"] = length + s
     x = M.rms_norm(x[:, -1:], params.get("final_norm"), cfg.rms_norm_eps)
-    logits = (x @ params["lm_head"].astype(x.dtype))[:, 0]
+    logits = lm_head_logits(params, x)[:, 0]
     return logits, cache
 
 
@@ -509,7 +539,7 @@ def decode_step_stacked(params, cache, token_ids, sc: ServingConfig):
     cache = dict(per_layer)
     cache["length"] = length + 1
     x = M.rms_norm(x, params.get("final_norm"), cfg.rms_norm_eps)
-    logits = (x @ params["lm_head"].astype(x.dtype))[:, 0]
+    logits = lm_head_logits(params, x)[:, 0]
     return logits, cache
 
 
@@ -761,7 +791,7 @@ def _decode_step_fast(params, cache, token_ids, sc: ServingConfig,
     cache = dict(cache)
     cache["length"] = length + 1
     x = M.rms_norm(x, params.get("final_norm"), cfg.rms_norm_eps)
-    logits = (x @ params["lm_head"].astype(x.dtype))[:, 0]
+    logits = lm_head_logits(params, x)[:, 0]
     return logits, cache
 
 
@@ -844,7 +874,7 @@ def _prefill_fast(params, cache, input_ids, sc: ServingConfig,
     cache = dict(cache)
     cache["length"] = cache["length"] + s
     x = M.rms_norm(x[:, -1:], params.get("final_norm"), cfg.rms_norm_eps)
-    logits = (x @ params["lm_head"].astype(x.dtype))[:, 0]
+    logits = lm_head_logits(params, x)[:, 0]
     return logits, cache
 
 

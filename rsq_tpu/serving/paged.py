@@ -190,7 +190,8 @@ def prefill_paged(params, pool, page_row, input_tail, sc: ServingConfig,
     last = prompt_len - prefix_len - 1  # static
     x = M.rms_norm(x[:, last:last + 1], params.get("final_norm"),
                    cfg.rms_norm_eps)
-    logits = (x @ params["lm_head"].astype(x.dtype))[0, 0]
+    from rsq_tpu.serving.model import lm_head_logits
+    logits = lm_head_logits(params, x)[0, 0]
     return logits, pool
 
 
@@ -300,7 +301,8 @@ def _prefill_paged_local(params, pool, page_row, input_tail,
     last = prompt_len - prefix_len - 1  # static
     x = M.rms_norm(x[:, last:last + 1], params.get("final_norm"),
                    cfg.rms_norm_eps)
-    logits = (x @ params["lm_head"].astype(x.dtype))[:, 0]
+    from rsq_tpu.serving.model import lm_head_logits
+    logits = lm_head_logits(params, x)[:, 0]
     return logits, pool
 
 
@@ -393,7 +395,8 @@ def _decode_paged_local(params, pool, page_tables, lengths, token_ids,
 
     x, pool = jax.lax.fori_loop(0, L, body, (x, pool))
     x = M.rms_norm(x, params.get("final_norm"), cfg.rms_norm_eps)
-    logits = (x @ params["lm_head"].astype(x.dtype))[:, 0]
+    from rsq_tpu.serving.model import lm_head_logits
+    logits = lm_head_logits(params, x)[:, 0]
     return logits, pool
 
 
@@ -443,7 +446,8 @@ def decode_step_paged(params, pool, page_tables, lengths, token_ids,
         x = x + _mlp(lp, h2, cfg, sc)
 
     x = M.rms_norm(x, params.get("final_norm"), cfg.rms_norm_eps)
-    logits = (x @ params["lm_head"].astype(x.dtype))[:, 0]
+    from rsq_tpu.serving.model import lm_head_logits
+    logits = lm_head_logits(params, x)[:, 0]
     return logits, pool
 
 

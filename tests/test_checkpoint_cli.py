@@ -104,3 +104,20 @@ def test_tracker_jsonl(tmp_path):
     assert lines[0]["ppl"] == 5.5 and lines[0]["step"] == 1
     assert lines[1]["summary"] and lines[1]["acc_avg"] == 0.6
     assert json.load(open(tmp_path / "config.json"))["w_bits"] == 4
+
+
+def test_cli_serve_roundtrip(tmp_path):
+    """quantize --save -> serve: the paged engine serves the checkpoint."""
+    import sys
+    import json
+    from rsq_tpu.cli import main
+
+    d = str(tmp_path / "ckpt")
+    main(["quantize", "--model", "tiny", "--cal-dataset", "synthetic",
+          "--nsamples", "2", "--train-seqlen", "16", "--w-bits", "4",
+          "--save", d])
+    out = main(["serve", "--load", d, "--requests", "2", "--prompt-len",
+                "8", "--max-new-tokens", "4", "--num-slots", "2",
+                "--page-size", "16", "--max-seq", "64"])
+    assert out["requests"] == 2 and out["new_tokens"] == 8
+    assert out["tok_per_sec"] > 0

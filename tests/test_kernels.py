@@ -183,3 +183,23 @@ def test_w16_matmul_stacked_matches_dense():
         np.testing.assert_allclose(np.asarray(y, np.float32),
                                    np.asarray(want, np.float32),
                                    rtol=2e-2, atol=2e-2)
+
+
+def test_w8_matmul_matches_reference():
+    from rsq_tpu.kernels.matmul_w4 import (w8_matmul, w8_matmul_reference,
+                                           w8_quantize)
+    rng = np.random.default_rng(21)
+    K, N, M = 256, 512, 8
+    w = jnp.asarray(rng.standard_normal((K, N)).astype(np.float32) * 0.05)
+    w8, scale = w8_quantize(w)
+    x = jnp.asarray(rng.standard_normal((M, K)).astype(np.float32)
+                    ).astype(jnp.bfloat16)
+    got = w8_matmul(x, w8, scale)
+    want = w8_matmul_reference(x, w8, scale)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32),
+                               rtol=2e-2, atol=2e-2)
+    # quantization error of the head itself is small
+    dq = np.asarray(w8, np.float32) * np.asarray(scale)[None, :]
+    rel = np.abs(dq - np.asarray(w)).max() / np.abs(np.asarray(w)).max()
+    assert rel < 0.01

@@ -65,3 +65,32 @@ def test_stacked_matches_unrolled(a4, kv_int4):
     l0b, c0 = S.decode_step(sparams, c0, tok, sc)
     l1b, c1 = S.decode_step_stacked(stacked, c1, tok, sc)
     close(l0b, l1b)
+
+
+def test_int8_lm_head_close_to_bf16():
+    """quantize_lm_head: decode logits with the int8 head must track the
+    bf16 head closely (same argmax on non-tied rows; small max error)."""
+    cfg = ModelConfig.tiny(num_layers=2, intermediate_size=128)
+    params = M.init_params(cfg, jax.random.PRNGKey(4), scale=0.05)
+    sparams = to_serving_params(params, {}, cfg)
+    stacked = S.stack_layer_params(sparams)
+    sc = S.ServingConfig(model=cfg, a4=False, kv_int4=True,
+                         kv_hadamard=True, online_had=False, max_seq=64)
+    ids = jnp.asarray(np.random.default_rng(4).integers(
+        0, cfg.vocab_size, (2, 8)))
+
+    c0 = S.init_cache(sc, 2)
+    l0, c0 = S.prefill_fast(stacked, c0, ids, sc)
+    tok = jnp.argmax(l0, axis=-1)
+    d0, _ = S.decode_step_stacked(stacked, c0, tok, sc)
+
+    q = S.quantize_lm_head(stacked)
+    c1 = S.init_cache(sc, 2)
+    l1, c1 = S.prefill_fast(q, c1, ids, sc)
+    d1, _ = S.decode_step_stacked(q, c1, tok, sc)
+
+    for a, b in ((l0, l1), (d0, d1)):
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        assert np.corrcoef(a.ravel(), b.ravel())[0, 1] > 0.999
+        assert np.max(np.abs(a - b)) < 0.1
