@@ -163,7 +163,14 @@ def test_paged_tp_engine_matches_single_device(setup, dp):
     from rsq_tpu.serving.paged import PagedServingEngine
 
     cfg, sparams = setup
-    sc = S.ServingConfig(model=cfg, a4=True, kv_int4=True, kv_hadamard=True,
+    # a4=False here: with activation quantization a single int4 code flip
+    # early in the forward cascades chaotically (logits decorrelate), and
+    # whether a flip happens depends on sub-ulp rounding — the a4
+    # numeric parity of the TP fast path is covered by
+    # test_tp_fast_decode_matches_single_device on IDENTICAL cache state;
+    # this test checks the two ENGINES' trajectories (admission, paging,
+    # appends) which needs a numerically stable forward
+    sc = S.ServingConfig(model=cfg, a4=False, kv_int4=True, kv_hadamard=True,
                          online_had=False, max_seq=32)
     rng = np.random.default_rng(4)
     prompts = [rng.integers(0, cfg.vocab_size, size=n) for n in (7, 11, 5, 9)]
