@@ -235,6 +235,141 @@ def int4_paged_decode_attention_reference(q, kq, kp, vq, vp, page_table,
 
 
 # ---------------------------------------------------------------------------
+# Fused attention + append (single kernel per layer per step)
+# ---------------------------------------------------------------------------
+
+def _paged_kernel_self_append(idx_ref, ptab_ref, q_ref, kq_ref, kp_ref,
+                              vq_ref, vp_ref, ks_ref, vs_ref, nkq_ref,
+                              nkp_ref, nvq_ref, nvp_ref, out_ref, okq_ref,
+                              okp_ref, ovq_ref, ovp_ref, m_ref, l_ref,
+                              acc_ref, *, page, npages, heads):
+    """Self-folding paged decode that ALSO appends the new token, in ONE
+    kernel: the finalize grid step already holds the sequence's last valid
+    page in VMEM (the clamped chunk DMA), which is exactly the page the
+    append writes when pos % page != 0 — so the updated page is emitted as
+    an aliased output block and the separate append kernel (one more
+    dispatch per layer per step, 0.2 ms/step measured r3) disappears.
+    When the append opens a FRESH page (pos % page == 0) the flushed
+    block's other lanes carry stale content — harmless: every read masks
+    by `lengths`, and future appends overwrite the lanes in order.
+
+    nk*/nv* are the new token's lane-major quantized values broadcast to
+    128 lanes; out*_ref are full-page blocks at the WRITE page
+    (ptab[b, pos // page]), flushed once per batch row."""
+    _attend_chunks(idx_ref, q_ref, kq_ref, kp_ref, vq_ref, vp_ref,
+                   m_ref, l_ref, acc_ref, chunk=page, heads=heads)
+    b = pl.program_id(0)
+    col = idx_ref[1 + b] % page
+
+    @pl.when(pl.program_id(1) == npages - 1)
+    def _():
+        _self_fold_finalize(q_ref, ks_ref, vs_ref, out_ref, m_ref, l_ref,
+                            acc_ref)
+
+        def wr(o_ref, c_ref, n_ref):
+            h, x = n_ref.shape[1], n_ref.shape[2]
+            lane = jax.lax.broadcasted_iota(jnp.int32, (h, x, page), 2)
+            new = jnp.broadcast_to(n_ref[0, :, :, 0:1], (h, x, page))
+            o_ref[0, 0] = jnp.where(lane == col, new, c_ref[0, 0])
+
+        wr(okq_ref, kq_ref, nkq_ref)
+        wr(okp_ref, kp_ref, nkp_ref)
+        wr(ovq_ref, vq_ref, nvq_ref)
+        wr(ovp_ref, vp_ref, nvp_ref)
+
+
+@functools.partial(jax.jit, static_argnames=("sm_scale", "interpret"))
+def int4_paged_decode_attention_self_append(q, kq_all, kp_all, vq_all,
+                                            vp_all, layer, page_table,
+                                            lengths, k_self, v_self,
+                                            nkq, nkp, nvq, nvp, *,
+                                            sm_scale=None,
+                                            interpret: bool | None = None):
+    """Fused self-folding paged decode + in-place pool append.
+
+    lengths counts CACHED tokens; the new token is appended at position
+    lengths[b] of each slot (page ptab[b, lengths[b] // page]).
+    k_self/v_self: (B, Hkv, D) dequantized cache-basis values (attention
+    math); nkq/nvq: (B, Hkv, D/2, 1) lane-major packed values, nkp/nvp:
+    (B, Hkv, 2, 1) (cache contents).  Returns
+    (out (B, Hq, D), kq', kp', vq', vp').  Pages must hold >= 128 tokens
+    (full-page output blocks need lane-aligned pages); use the separate
+    paged_append_pool for smaller test pages."""
+    from rsq_tpu.kernels import default_interpret
+    interpret = default_interpret(interpret)
+    B, Hq, D = q.shape
+    L, P, Hkv, D2, page = kq_all.shape
+    NP = page_table.shape[1]
+    qg, G, Gp = _paged_q_prep(q, Hkv, sm_scale)
+
+    def clamp_p(p, idx, ptab, b):
+        last = jnp.maximum((idx[1 + b] + page - 1) // page - 1, 0)
+        return ptab[b, jnp.minimum(p, last)]
+
+    def pool_spec(x):
+        return pl.BlockSpec(
+            (1, 1, Hkv, x, page),
+            lambda b, p, idx, ptab, x=x: (idx[0], clamp_p(p, idx, ptab, b),
+                                          0, 0, 0))
+
+    def wspec(x):
+        # the WRITE page, constant within a batch row (flushed at row end)
+        return pl.BlockSpec(
+            (1, 1, Hkv, x, page),
+            lambda b, p, idx, ptab, x=x: (idx[0],
+                                          ptab[b, idx[1 + b] // page],
+                                          0, 0, 0))
+
+    def nblk(x):
+        return pl.BlockSpec((1, Hkv, x, 128),
+                            lambda b, p, idx, ptab: (b, 0, 0, 0))
+
+    def bcast(v, dt):
+        return jnp.broadcast_to(v.astype(dt), (*v.shape[:-1], 128))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B, NP),
+        in_specs=[
+            pl.BlockSpec((1, Hkv, Gp, D), lambda b, p, idx, ptab: (b, 0, 0, 0)),
+            pool_spec(D2), pool_spec(2), pool_spec(D2), pool_spec(2),
+            pl.BlockSpec((1, Hkv, D), lambda b, p, idx, ptab: (b, 0, 0)),
+            pl.BlockSpec((1, Hkv, D), lambda b, p, idx, ptab: (b, 0, 0)),
+            nblk(D2), nblk(2), nblk(D2), nblk(2),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, Hkv, Gp, D), lambda b, p, idx, ptab: (b, 0, 0, 0)),
+            wspec(D2), wspec(2), wspec(D2), wspec(2),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((Hkv, Gp, 128), jnp.float32),
+            pltpu.VMEM((Hkv, Gp, 128), jnp.float32),
+            pltpu.VMEM((Hkv, Gp, D), jnp.float32),
+        ],
+    )
+    out, kq2, kp2, vq2, vp2 = pl.pallas_call(
+        functools.partial(_paged_kernel_self_append, page=page, npages=NP,
+                          heads=Hkv),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, Hkv, Gp, D), q.dtype),
+            jax.ShapeDtypeStruct(kq_all.shape, kq_all.dtype),
+            jax.ShapeDtypeStruct(kp_all.shape, kp_all.dtype),
+            jax.ShapeDtypeStruct(vq_all.shape, vq_all.dtype),
+            jax.ShapeDtypeStruct(vp_all.shape, vp_all.dtype),
+        ],
+        input_output_aliases={3: 1, 4: 2, 5: 3, 6: 4},
+        interpret=interpret,
+    )(jnp.concatenate([jnp.asarray(layer, jnp.int32).reshape(1),
+                       lengths.astype(jnp.int32)]),
+      page_table.astype(jnp.int32), qg, kq_all, kp_all, vq_all, vp_all,
+      k_self.astype(jnp.float32), v_self.astype(jnp.float32),
+      bcast(nkq, kq_all.dtype), bcast(nkp, kp_all.dtype),
+      bcast(nvq, vq_all.dtype), bcast(nvp, vp_all.dtype))
+    return out[:, :, :G, :].reshape(B, Hq, D), kq2, kp2, vq2, vp2
+
+
+# ---------------------------------------------------------------------------
 # Aliased in-place pool append (decode hot path)
 # ---------------------------------------------------------------------------
 

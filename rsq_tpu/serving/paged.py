@@ -358,17 +358,16 @@ def _decode_paged_local(params, pool, page_tables, lengths, token_ids,
         vq_t, vp_t = PKV.asym_quant_pack_head(vb)
         k_self = PKV.unpack_dequant_head(kq_t, kp_t)[:, :, 0]  # (B, H, D)
         v_self = PKV.unpack_dequant_head(vq_t, vp_t)[:, :, 0]
-        attn = PKV.int4_paged_decode_attention_stacked_self(
-            qh, pool["kq"], pool["kp"], pool["vq"], pool["vp"], i,
-            page_tables, lengths, k_self, v_self)
-
         kq_, kp_ = PKV.to_lane_major(kq_t, kp_t)
         vq_, vp_ = PKV.to_lane_major(vq_t, vp_t)
+        # ONE kernel per layer: attention (pool read-only, self term folded
+        # analytically) + in-place page append of the new token via aliased
+        # full-page output blocks — no separate append dispatch
         pool = dict(pool)
-        pool["kq"], pool["kp"], pool["vq"], pool["vp"] = \
-            PKV.paged_append_pool(pool["kq"], pool["kp"], pool["vq"],
-                                  pool["vp"], i, page_tables, lengths,
-                                  kq_, kp_, vq_, vp_)
+        (attn, pool["kq"], pool["kp"], pool["vq"], pool["vp"]) = \
+            PKV.int4_paged_decode_attention_self_append(
+                qh, pool["kq"], pool["kp"], pool["vq"], pool["vp"], i,
+                page_tables, lengths, k_self, v_self, kq_, kp_, vq_, vp_)
 
         attn = attn.reshape(b, 1, nq * hd)
         if sc.online_had:

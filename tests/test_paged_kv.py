@@ -251,3 +251,59 @@ def test_paged_append_pool_small_pages_cross_boundary():
                               nkq, nkp, nvq, nvp)
     for g, name in zip(got, ("kq", "kp", "vq", "vp")):
         np.testing.assert_array_equal(np.asarray(g), np.asarray(want[name]))
+
+
+def test_fused_self_append_matches_separate_kernels():
+    """int4_paged_decode_attention_self_append == stacked_self attention
+    followed by paged_append_pool, including the page-boundary (fresh
+    page) case."""
+    rng = np.random.default_rng(17)
+    L, Hkv, D, page, P, B = 2, 2, 64, 128, 10, 3
+    pools = [_random_pool(rng, P, Hkv, D, page) for _ in range(L)]
+    kq = jnp.stack([p[0] for p in pools])
+    kp = jnp.stack([p[1] for p in pools])
+    vq = jnp.stack([p[2] for p in pools])
+    vp = jnp.stack([p[3] for p in pools])
+    ptab = jnp.asarray([[0, 2, 5], [3, 1, 6], [4, 7, 8]], dtype=jnp.int32)
+    # mid-page, page-boundary (fresh page), empty-cache cases
+    lengths = jnp.asarray([page + 7, page, 0], jnp.int32)
+    q = jnp.asarray(rng.standard_normal((B, Hkv, D)).astype(np.float32))
+
+    knew = jnp.asarray(rng.standard_normal((B, Hkv, 1, D)).astype(np.float32))
+    vnew = jnp.asarray(rng.standard_normal((B, Hkv, 1, D)).astype(np.float32))
+    nkq_t, nkp_t = KVK.asym_quant_pack_head(knew)
+    nvq_t, nvp_t = KVK.asym_quant_pack_head(vnew)
+    k_self = KVK.unpack_dequant_head(nkq_t, nkp_t)[:, :, 0]
+    v_self = KVK.unpack_dequant_head(nvq_t, nvp_t)[:, :, 0]
+    nkq, nkp = KVK.to_lane_major(nkq_t, nkp_t)
+    nvq, nvp = KVK.to_lane_major(nvq_t, nvp_t)
+
+    for i in range(L):
+        out_f, kq2, kp2, vq2, vp2 = \
+            PKV.int4_paged_decode_attention_self_append(
+                q, kq, kp, vq, vp, i, ptab, lengths, k_self, v_self,
+                nkq, nkp, nvq, nvp)
+        out_s = PKV.int4_paged_decode_attention_stacked_self(
+            q, kq, kp, vq, vp, i, ptab, lengths, k_self, v_self)
+        np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_s),
+                                   rtol=1e-5, atol=1e-5)
+        kq3, kp3, vq3, vp3 = PKV.paged_append_pool(
+            kq, kp, vq, vp, i, ptab, lengths, nkq, nkp, nvq, nvp)
+        # the written lane must match exactly; lanes of a FRESH page other
+        # than the written one may carry stale content (masked by lengths),
+        # so compare only the pages the separate-append oracle touched at
+        # the written positions and all non-fresh content
+        for got, want, name in ((kq2, kq3, "kq"), (kp2, kp3, "kp"),
+                                (vq2, vq3, "vq"), (vp2, vp3, "vp")):
+            g, w = np.asarray(got), np.asarray(want)
+            for b in range(B):
+                pos = int(lengths[b])
+                pid = int(ptab[b, pos // page])
+                off = pos % page
+                np.testing.assert_array_equal(
+                    g[i, pid, :, :, off], w[i, pid, :, :, off],
+                    err_msg=f"{name} slot {b} written lane")
+                if off != 0:
+                    # same-page case: the rest of the page preserved
+                    np.testing.assert_array_equal(
+                        g[i, pid, :, :, :off], w[i, pid, :, :, :off])
