@@ -714,32 +714,40 @@ def _decode_step_fast(params, cache, token_ids, sc: ServingConfig,
             q = _linear_fast(h2d, ls["q"], i, sc)
             k = _linear_fast(h2d, ls["k"], i, sc)
             v = _linear_fast(h2d, ls["v"], i, sc)
-        q = M.apply_rope(q.reshape(b, 1, nq, hd), cos, sin)
-        k = M.apply_rope(k.reshape(b, 1, nkv, hd), cos, sin)
-
-        kb = jnp.swapaxes(k, 1, 2)               # (B, H, 1, D)
-        vb = jnp.swapaxes(v.reshape(b, 1, nkv, hd), 1, 2)
-        qh = q.reshape(b, nq, hd)
+        # ONE rope over [q;k], ONE hadamard over [q;k], ONE quant/pack +
+        # dequant + relayout over [k;v] — the fori_loop body's small-op
+        # count is the measured ~1 ms/step layer-loop residue (r3 trace)
+        qk = M.apply_rope(
+            jnp.concatenate([q.reshape(b, 1, nq, hd),
+                             k.reshape(b, 1, nkv, hd)], axis=2), cos, sin)
+        vb = jnp.swapaxes(v.reshape(b, 1, nkv, hd), 1, 2)  # (B, H, 1, D)
         # attend over the OLD cache (kernel only READS it) and fold the new
         # token in analytically: XLA can then apply the appends below in
         # place — a scatter racing a custom-call consumer copies the whole
         # cache per layer (~300 MB, 76 ms of a 90 ms step, measured)
         if kv4:
             if sc.kv_hadamard:
-                kb = hadamard_transform_last(kb)
-                qh = hadamard_transform_last(qh)
-            kq_t, kp_t = KVK.asym_quant_pack_head(kb)   # token-major
-            vq_t, vp_t = KVK.asym_quant_pack_head(vb)
+                qk = hadamard_transform_last(qk)
+            qh = qk[:, 0, :nq]                    # rotated q (B, nq, D)
+            kb = jnp.swapaxes(qk[:, :, nq:], 1, 2)
+            kvq_t, kvp_t = KVK.asym_quant_pack_head(
+                jnp.concatenate([kb, vb], axis=1))
             # self-attention term of the token being appended folds in-kernel
             # (one more online-softmax step) — no caller-side merge, no m/l
             # outputs.  k/v_self are the DEQUANTIZED values so the math
             # matches what the cache will hold for later steps.
-            k_self = KVK.unpack_dequant_head(kq_t, kp_t)[:, :, 0]  # (B,H,D)
-            v_self = KVK.unpack_dequant_head(vq_t, vp_t)[:, :, 0]
+            kv_self = KVK.unpack_dequant_head(kvq_t, kvp_t)[:, :, 0]
+            k_self, v_self = kv_self[:, :nkv], kv_self[:, nkv:]
+            kq_t, vq_t = kvq_t[:, :nkv], kvq_t[:, nkv:]
+            kp_t, vp_t = kvp_t[:, :nkv], kvp_t[:, nkv:]
             attn = KVK.int4_decode_attention_stacked_self(
                 qh, cache["kq"], cache["kp"], cache["vq"], cache["vp"], i,
                 length, k_self, v_self)
         else:
+            if sc.kv_hadamard:
+                qk = hadamard_transform_last(qk)
+            qh = qk[:, 0, :nq]
+            kb = jnp.swapaxes(qk[:, :, nq:], 1, 2)
             out_old, m_old, l_old = KVK.bf16_decode_attention_stacked(
                 qh, cache["k"], cache["v"], i, length)
             k_self = kb.astype(cache["k"].dtype).astype(jnp.float32)
@@ -755,12 +763,12 @@ def _decode_step_fast(params, cache, token_ids, sc: ServingConfig,
         # full 268 MB arrays EVERY layer — 79% of the r2 step) and NOT 4 x B
         # dynamic_update_slices (1.5 ms of dispatch per step, trace r3).
         if kv4:
-            kq_, kp_ = KVK.to_lane_major(kq_t, kp_t)
-            vq_, vp_ = KVK.to_lane_major(vq_t, vp_t)
+            kvq_, kvp_ = KVK.to_lane_major(kvq_t, kvp_t)
             cache["kq"], cache["kp"], cache["vq"], cache["vp"] = \
                 KVK.kv_append_stacked(cache["kq"], cache["kp"], cache["vq"],
-                                      cache["vp"], i, pos, kq_, kp_,
-                                      vq_, vp_)
+                                      cache["vp"], i, pos,
+                                      kvq_[:, :nkv], kvp_[:, :nkv],
+                                      kvq_[:, nkv:], kvp_[:, nkv:])
         else:
             cache["k"], cache["v"] = KVK.kv_append_stacked_bf16(
                 cache["k"], cache["v"], i, pos, kb, vb)

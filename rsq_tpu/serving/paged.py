@@ -346,20 +346,25 @@ def _decode_paged_local(params, pool, page_tables, lengths, token_ids,
             q = _linear_fast(h2d, ls["q"], i, sc)
             k = _linear_fast(h2d, ls["k"], i, sc)
             v = _linear_fast(h2d, ls["v"], i, sc)
-        q = M.apply_rope(q.reshape(b, 1, nq, hd), cos, sin)
-        k = M.apply_rope(k.reshape(b, 1, nkv, hd), cos, sin)
-        kb = jnp.swapaxes(k, 1, 2)               # (B, H_l, 1, D)
-        vb = jnp.swapaxes(v.reshape(b, 1, nkv, hd), 1, 2)
-        qh = q.reshape(b, nq, hd)
+        # ONE rope over [q;k] heads, ONE hadamard over [q;k], ONE
+        # quant/pack + dequant + relayout over [k;v]: the fori_loop body's
+        # small-op count IS the measured ~1 ms/step "layer-loop residue"
+        # (r3 trace), so per-token prep ops are batched across tensors
+        qk = M.apply_rope(
+            jnp.concatenate([q.reshape(b, 1, nq, hd),
+                             k.reshape(b, 1, nkv, hd)], axis=2), cos, sin)
+        vb = jnp.swapaxes(v.reshape(b, 1, nkv, hd), 1, 2)  # (B, H, 1, D)
         if sc.kv_hadamard:
-            kb = hadamard_transform_last(kb)
-            qh = hadamard_transform_last(qh)
-        kq_t, kp_t = PKV.asym_quant_pack_head(kb)   # token-major
-        vq_t, vp_t = PKV.asym_quant_pack_head(vb)
-        k_self = PKV.unpack_dequant_head(kq_t, kp_t)[:, :, 0]  # (B, H, D)
-        v_self = PKV.unpack_dequant_head(vq_t, vp_t)[:, :, 0]
-        kq_, kp_ = PKV.to_lane_major(kq_t, kp_t)
-        vq_, vp_ = PKV.to_lane_major(vq_t, vp_t)
+            qk = hadamard_transform_last(qk)
+        qh = qk[:, 0, :nq]                        # rotated q (B, nq, D)
+        kb = jnp.swapaxes(qk[:, :, nq:], 1, 2)    # rotated K (B, H, 1, D)
+        kvq_t, kvp_t = PKV.asym_quant_pack_head(
+            jnp.concatenate([kb, vb], axis=1))    # (B, 2H, 1, ...)
+        kv_self = PKV.unpack_dequant_head(kvq_t, kvp_t)[:, :, 0]
+        k_self, v_self = kv_self[:, :nkv], kv_self[:, nkv:]
+        kvq_, kvp_ = PKV.to_lane_major(kvq_t, kvp_t)
+        kq_, vq_ = kvq_[:, :nkv], kvq_[:, nkv:]
+        kp_, vp_ = kvp_[:, :nkv], kvp_[:, nkv:]
         # ONE kernel per layer: attention (pool read-only, self term folded
         # analytically) + in-place page append of the new token via aliased
         # full-page output blocks — no separate append dispatch
