@@ -550,7 +550,17 @@ class PagedServingEngine:
         prefix_pages = len(reused)
         prefix_len = prefix_pages * self.page
         tail = req.prompt_ids[prefix_len:]
-        st_pad = -(-len(tail) // self.page) * self.page
+        # BUCKET the tail to a power-of-two page count: every distinct tail
+        # length otherwise compiles its own full-depth prefill program
+        # (minutes each on the remote compile service).  Extra pages write
+        # through the row's null-page entries (garbage page, never read:
+        # attention masks padding causally, decode masks by lengths).
+        n_tail = -(-len(tail) // self.page)
+        cap = self.np_per_slot - prefix_pages
+        bucket = 1
+        while bucket < n_tail:
+            bucket *= 2
+        st_pad = min(bucket, cap) * self.page
         tail_pad = np.zeros((1, st_pad), np.int32)
         tail_pad[0, :len(tail)] = tail
 
