@@ -35,7 +35,13 @@ def main(nsamples=16, seqlen=512, layers=4):
 
     cfg = dataclasses.replace(ModelConfig.llama3_8b(), num_layers=layers)
     t0 = time.perf_counter()
-    params = M.init_params(cfg, jax.random.PRNGKey(0), scale=0.02)
+    # init on HOST: real runs stream HF weights from host memory; keeping
+    # the random probe's full f32 params off the chip leaves HBM to the
+    # layer-streamed quantization (device-resident init OOM'd next to the
+    # tunnel server's resident allocations)
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        params = M.init_params(cfg, jax.random.PRNGKey(0), scale=0.02)
     t_init = time.perf_counter() - t0
 
     calib = D.get_loaders("synthetic", nsamples=nsamples, seqlen=seqlen,

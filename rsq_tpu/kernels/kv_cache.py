@@ -452,6 +452,131 @@ def int4_decode_attention_stacked_self(q, kq_all, kp_all, vq_all, vp_all,
     return out[:, :, :G, :].reshape(B, Hq, D)
 
 
+def _decode_kernel_self_append(idx_ref, q_ref, kq_ref, kp_ref, vq_ref,
+                               vp_ref, ks_ref, vs_ref, nkq_ref, nkp_ref,
+                               nvq_ref, nvp_ref, out_ref, okq_ref, okp_ref,
+                               ovq_ref, ovp_ref, m_ref, l_ref, acc_ref, *,
+                               chunk, nchunks, heads):
+    """Self-folding decode that ALSO appends the new token in the SAME
+    kernel (the contiguous twin of paged_kv._paged_kernel_self_append):
+    the finalize step's clamped-chunk DMA already holds the sequence chunk
+    the append writes, so the updated chunk is emitted as an aliased
+    output block — no separate append dispatch per layer per step.  When
+    the append opens a fresh chunk, lanes beyond the new token carry stale
+    content, always masked by `lengths` on read."""
+    _attend_chunks(idx_ref, q_ref, kq_ref, kp_ref, vq_ref, vp_ref,
+                   m_ref, l_ref, acc_ref, chunk=chunk, heads=heads)
+    b = pl.program_id(0)
+    col = idx_ref[1 + b] % chunk
+
+    @pl.when(pl.program_id(1) == nchunks - 1)
+    def _():
+        _self_fold_finalize(q_ref, ks_ref, vs_ref, out_ref, m_ref, l_ref,
+                            acc_ref)
+
+        def wr(o_ref, c_ref, n_ref):
+            h, x = n_ref.shape[1], n_ref.shape[2]
+            lane = jax.lax.broadcasted_iota(jnp.int32, (h, x, chunk), 2)
+            new = jnp.broadcast_to(n_ref[0, :, :, 0:1], (h, x, chunk))
+            o_ref[0, 0] = jnp.where(lane == col, new, c_ref[0, 0])
+
+        wr(okq_ref, kq_ref, nkq_ref)
+        wr(okp_ref, kp_ref, nkp_ref)
+        wr(ovq_ref, vq_ref, nvq_ref)
+        wr(ovp_ref, vp_ref, nvp_ref)
+
+
+@functools.partial(jax.jit, static_argnames=("sm_scale", "chunk", "interpret"))
+def int4_decode_attention_self_append(q, kq_all, kp_all, vq_all, vp_all,
+                                      layer, lengths, k_self, v_self,
+                                      nkq, nkp, nvq, nvp, *, sm_scale=None,
+                                      chunk: int = 512,
+                                      interpret: bool | None = None):
+    """Fused self-folding contiguous decode + in-place cache append.
+
+    lengths counts CACHED tokens; the token is appended at position
+    lengths[b].  k_self/v_self: (B, Hkv, D) dequantized cache-basis values
+    (attention math); nkq/nvq: (B, Hkv, D/2, 1) lane-major packed values,
+    nkp/nvp: (B, Hkv, 2, 1).  Returns (out, kq', kp', vq', vp')."""
+    from rsq_tpu.kernels import default_interpret
+    interpret = default_interpret(interpret)
+    B, Hq, D = q.shape
+    L, _, Hkv, D2, S = kq_all.shape
+    G = Hq // Hkv
+    Gp = max(8, G)
+    if sm_scale is None:
+        sm_scale = 1.0 / math.sqrt(D)
+
+    qg = (q.astype(jnp.float32) * sm_scale).reshape(B, Hkv, G, D)
+    if Gp != G:
+        qg = jnp.pad(qg, ((0, 0), (0, 0), (0, Gp - G), (0, 0)))
+
+    ch = pick_chunk(S, chunk)
+    nchunks = S // ch
+
+    def clamp_s(s, idx, b):
+        last = jnp.maximum((idx[1 + b] + ch - 1) // ch - 1, 0)
+        return jnp.minimum(s, last)
+
+    def cspec(x):
+        return pl.BlockSpec((1, 1, Hkv, x, ch),
+                            lambda b, s, idx, x=x: (idx[0], b, 0, 0,
+                                                    clamp_s(s, idx, b)))
+
+    def wspec(x):
+        # the WRITE chunk (constant per batch row, flushed at row end)
+        return pl.BlockSpec((1, 1, Hkv, x, ch),
+                            lambda b, s, idx, x=x: (idx[0], b, 0, 0,
+                                                    idx[1 + b] // ch))
+
+    def nblk(x):
+        return pl.BlockSpec((1, Hkv, x, 128), lambda b, s, idx: (b, 0, 0, 0))
+
+    def bcast(v, dt):
+        return jnp.broadcast_to(v.astype(dt), (*v.shape[:-1], 128))
+
+    grid = (B, nchunks)
+    out, kq2, kp2, vq2, vp2 = pl.pallas_call(
+        functools.partial(_decode_kernel_self_append, chunk=ch,
+                          nchunks=nchunks, heads=Hkv),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, Hkv, Gp, D), lambda b, s, idx: (b, 0, 0, 0)),
+                cspec(D2), cspec(2), cspec(D2), cspec(2),
+                pl.BlockSpec((1, Hkv, D), lambda b, s, idx: (b, 0, 0)),
+                pl.BlockSpec((1, Hkv, D), lambda b, s, idx: (b, 0, 0)),
+                nblk(D2), nblk(2), nblk(D2), nblk(2),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, Hkv, Gp, D), lambda b, s, idx: (b, 0, 0, 0)),
+                wspec(D2), wspec(2), wspec(D2), wspec(2),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((Hkv, Gp, 128), jnp.float32),
+                pltpu.VMEM((Hkv, Gp, 128), jnp.float32),
+                pltpu.VMEM((Hkv, Gp, D), jnp.float32),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((B, Hkv, Gp, D), q.dtype),
+            jax.ShapeDtypeStruct(kq_all.shape, kq_all.dtype),
+            jax.ShapeDtypeStruct(kp_all.shape, kp_all.dtype),
+            jax.ShapeDtypeStruct(vq_all.shape, vq_all.dtype),
+            jax.ShapeDtypeStruct(vp_all.shape, vp_all.dtype),
+        ],
+        input_output_aliases={2: 1, 3: 2, 4: 3, 5: 4},
+        interpret=interpret,
+    )(jnp.concatenate([jnp.asarray(layer, jnp.int32).reshape(1),
+                       lengths.astype(jnp.int32)]),
+      qg, kq_all, kp_all, vq_all, vp_all,
+      k_self.astype(jnp.float32), v_self.astype(jnp.float32),
+      bcast(nkq, kq_all.dtype), bcast(nkp, kp_all.dtype),
+      bcast(nvq, vq_all.dtype), bcast(nvp, vp_all.dtype))
+    return out[:, :, :G, :].reshape(B, Hq, D), kq2, kp2, vq2, vp2
+
+
 def _decode_kernel_bf16_pref(idx_ref, q_ref, k_ref, v_ref, out_ref,
                              m_out_ref, l_out_ref, m_ref, l_ref, acc_ref, *,
                              chunk, nchunks, heads):

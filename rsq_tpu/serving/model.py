@@ -733,16 +733,20 @@ def _decode_step_fast(params, cache, token_ids, sc: ServingConfig,
             kvq_t, kvp_t = KVK.asym_quant_pack_head(
                 jnp.concatenate([kb, vb], axis=1))
             # self-attention term of the token being appended folds in-kernel
-            # (one more online-softmax step) — no caller-side merge, no m/l
-            # outputs.  k/v_self are the DEQUANTIZED values so the math
-            # matches what the cache will hold for later steps.
+            # (one more online-softmax step) and the APPEND fuses into the
+            # same kernel's finalize (aliased chunk output blocks) — one
+            # Pallas dispatch per layer per step, cache never scattered.
+            # k/v_self are the DEQUANTIZED values so the math matches what
+            # the cache will hold for later steps.
             kv_self = KVK.unpack_dequant_head(kvq_t, kvp_t)[:, :, 0]
             k_self, v_self = kv_self[:, :nkv], kv_self[:, nkv:]
-            kq_t, vq_t = kvq_t[:, :nkv], kvq_t[:, nkv:]
-            kp_t, vp_t = kvp_t[:, :nkv], kvp_t[:, nkv:]
-            attn = KVK.int4_decode_attention_stacked_self(
-                qh, cache["kq"], cache["kp"], cache["vq"], cache["vp"], i,
-                length, k_self, v_self)
+            kvq_, kvp_ = KVK.to_lane_major(kvq_t, kvp_t)
+            (attn, cache["kq"], cache["kp"], cache["vq"], cache["vp"]) = \
+                KVK.int4_decode_attention_self_append(
+                    qh, cache["kq"], cache["kp"], cache["vq"], cache["vp"],
+                    i, length, k_self, v_self,
+                    kvq_[:, :nkv], kvp_[:, :nkv],
+                    kvq_[:, nkv:], kvp_[:, nkv:])
         else:
             if sc.kv_hadamard:
                 qk = hadamard_transform_last(qk)
@@ -757,19 +761,11 @@ def _decode_step_fast(params, cache, token_ids, sc: ServingConfig,
             attn = KVK.merge_self_attention(out_old, m_old, l_old, qs,
                                             k_self, v_self)
 
-        # ONE aliased Pallas append, NOT a batched scatter (a scatter with a
-        # vector of positions makes XLA pick a non-default layout for the
-        # stacked cache, and every Pallas consumer then relayout-copies the
-        # full 268 MB arrays EVERY layer — 79% of the r2 step) and NOT 4 x B
-        # dynamic_update_slices (1.5 ms of dispatch per step, trace r3).
-        if kv4:
-            kvq_, kvp_ = KVK.to_lane_major(kvq_t, kvp_t)
-            cache["kq"], cache["kp"], cache["vq"], cache["vp"] = \
-                KVK.kv_append_stacked(cache["kq"], cache["kp"], cache["vq"],
-                                      cache["vp"], i, pos,
-                                      kvq_[:, :nkv], kvp_[:, :nkv],
-                                      kvq_[:, nkv:], kvp_[:, nkv:])
-        else:
+        # (int4: the append happened inside the fused kernel above; the
+        # bf16 path keeps its separate aliased Pallas append — NOT a
+        # batched scatter, which forces full-cache relayout copies, and
+        # NOT 4 x B dynamic_update_slices.)
+        if not kv4:
             cache["k"], cache["v"] = KVK.kv_append_stacked_bf16(
                 cache["k"], cache["v"], i, pos, kb, vb)
         attn = attn.reshape(b, 1, nq * hd)

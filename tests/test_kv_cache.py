@@ -259,3 +259,61 @@ def test_stacked_decode_self_fold_empty_cache():
     np.testing.assert_allclose(np.asarray(got, np.float32),
                                np.asarray(want, np.float32),
                                rtol=1e-2, atol=1e-2)
+
+
+def test_contiguous_fused_self_append_matches_separate():
+    """int4_decode_attention_self_append == stacked_self attention then
+    kv_append_stacked, covering mid-chunk, chunk-boundary and empty-cache
+    slots (contiguous twin of the paged fused kernel)."""
+    rng = np.random.default_rng(23)
+    L, B, Hkv, D, S = 2, 3, 2, 64, 256  # ch = 128 (pick_chunk of 256@512?)
+    kq = jnp.asarray(rng.integers(0, 256, (L, B, Hkv, D // 2, S),
+                                  dtype=np.uint8))
+    kp = jnp.asarray(np.stack(
+        [rng.uniform(0.01, 0.2, (L, B, Hkv, S)),
+         rng.uniform(-0.5, 0.5, (L, B, Hkv, S))], axis=3).astype(np.float32))
+    vq = jnp.asarray(rng.integers(0, 256, (L, B, Hkv, D // 2, S),
+                                  dtype=np.uint8))
+    vp = jnp.asarray(np.stack(
+        [rng.uniform(0.01, 0.2, (L, B, Hkv, S)),
+         rng.uniform(-0.5, 0.5, (L, B, Hkv, S))], axis=3).astype(np.float32))
+    # ch = pick_chunk(256, 512) = 256 -> single chunk; also test chunk=128
+    for chunk in (128, 256):
+        ch = KV.pick_chunk(S, chunk)
+        lengths = jnp.asarray([ch - 1, min(ch, S - 1), 0],
+                              jnp.int32)[:B]
+        q = jnp.asarray(rng.standard_normal((B, Hkv * 2, D))
+                        .astype(np.float32))
+        knew = jnp.asarray(rng.standard_normal((B, Hkv, 1, D))
+                           .astype(np.float32))
+        vnew = jnp.asarray(rng.standard_normal((B, Hkv, 1, D))
+                           .astype(np.float32))
+        nkq_t, nkp_t = KV.asym_quant_pack_head(knew)
+        nvq_t, nvp_t = KV.asym_quant_pack_head(vnew)
+        k_self = KV.unpack_dequant_head(nkq_t, nkp_t)[:, :, 0]
+        v_self = KV.unpack_dequant_head(nvq_t, nvp_t)[:, :, 0]
+        nkq, nkp = KV.to_lane_major(nkq_t, nkp_t)
+        nvq, nvp = KV.to_lane_major(nvq_t, nvp_t)
+
+        for i in range(L):
+            out_f, kq2, kp2, vq2, vp2 = KV.int4_decode_attention_self_append(
+                q, kq, kp, vq, vp, i, lengths, k_self, v_self,
+                nkq, nkp, nvq, nvp, chunk=chunk)
+            out_s = KV.int4_decode_attention_stacked_self(
+                q, kq, kp, vq, vp, i, lengths, k_self, v_self, chunk=chunk)
+            np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_s),
+                                       rtol=1e-5, atol=1e-5)
+            kq3, kp3, vq3, vp3 = KV.kv_append_stacked(
+                kq, kp, vq, vp, i, lengths, nkq, nkp, nvq, nvp)
+            for got, want, name in ((kq2, kq3, "kq"), (kp2, kp3, "kp"),
+                                    (vq2, vq3, "vq"), (vp2, vp3, "vp")):
+                g, w = np.asarray(got), np.asarray(want)
+                for b in range(B):
+                    pos = int(lengths[b])
+                    np.testing.assert_array_equal(
+                        g[i, b, :, :, pos], w[i, b, :, :, pos],
+                        err_msg=f"{name} slot {b} ch {ch} written lane")
+                    # same-chunk lanes before pos preserved
+                    lo = (pos // ch) * ch
+                    np.testing.assert_array_equal(
+                        g[i, b, :, :, lo:pos], w[i, b, :, :, lo:pos])
