@@ -76,11 +76,30 @@ def hessian_from_inputs(xs, weighting=None, chunk: int = 8):
 # Cholesky chain with damping retry
 # ---------------------------------------------------------------------------
 
-def _inv_cholesky_upper(H):
+def _inv_cholesky_upper(H, block: int = 2048):
     """U upper-triangular with H^-1 = U^T U (the torch
-    cholesky->cholesky_inverse->cholesky(upper) chain, gptq_utils.py:172-183)."""
+    cholesky->cholesky_inverse->cholesky(upper) chain, gptq_utils.py:172-183).
+
+    The inverse goes through COLUMN-BLOCKED triangular solves: XLA:TPU's
+    TriangularSolve with a full (n, n) RHS compiles a 41 GB program at the
+    Llama-3 intermediate size n=14336 (measured: permanent HBM compile
+    OOM), while n x 2048 solves compile and run fine — so L^-1 is built
+    block by block and H^-1 = (L^-1)^T L^-1 is one MXU matmul."""
+    n = H.shape[0]
     L = jnp.linalg.cholesky(H)
-    Hinv = jax.scipy.linalg.cho_solve((L, True), jnp.eye(H.shape[0], dtype=H.dtype))
+    if n <= 4096:
+        Hinv = jax.scipy.linalg.cho_solve(
+            (L, True), jnp.eye(n, dtype=H.dtype))
+    else:
+        cols = []
+        for j in range(0, n, block):
+            nb = min(block, n - j)
+            rhs = jnp.zeros((n, nb), H.dtype).at[j:j + nb].set(
+                jnp.eye(nb, dtype=H.dtype))
+            cols.append(jax.scipy.linalg.solve_triangular(L, rhs,
+                                                          lower=True))
+        Linv = jnp.concatenate(cols, axis=1)    # L^{-1}
+        Hinv = Linv.T @ Linv
     C = jnp.linalg.cholesky(Hinv)
     return C.T
 

@@ -50,7 +50,15 @@ def prefill_into_slot(params, cache, input_ids, sc: ServingConfig, slot: int):
     sub = {k: (v[:, slot:slot + 1] if k != "length" else v[slot:slot + 1])
            for k, v in cache.items()}
     sub["length"] = jnp.zeros((1,), jnp.int32)
-    logits, sub = _prefill(params, sub, input_ids, sc)
+    # bucket the prompt to a power-of-two length (min 16) so varied prompt
+    # lengths share log2-many compiled prefill programs
+    s = input_ids.shape[1]
+    bucket = 16
+    while bucket < s:
+        bucket *= 2
+    if bucket != s:
+        input_ids = jnp.pad(input_ids, ((0, 0), (0, bucket - s)))
+    logits, sub = _prefill(params, sub, input_ids, sc, true_len=s)
     for k in cache:
         if k == "length":
             cache[k] = cache[k].at[slot].set(sub[k][0])

@@ -800,7 +800,7 @@ def _decode_step_fast(params, cache, token_ids, sc: ServingConfig,
 
 
 def _prefill_fast(params, cache, input_ids, sc: ServingConfig,
-                  tp_axis: str | None = None):
+                  tp_axis: str | None = None, true_len: int | None = None):
     """Prefill over STACKED params without per-layer weight slices: a
     python loop over static layer indices feeds the scalar-prefetch stacked
     kernels (any M), so weights stream once per layer with no relayout
@@ -875,17 +875,24 @@ def _prefill_fast(params, cache, input_ids, sc: ServingConfig,
         down = row_out(down, x.dtype)
         x = x + down.reshape(b, s, -1).astype(x.dtype)
 
+    tl = s if true_len is None else true_len
     cache = dict(cache)
-    cache["length"] = cache["length"] + s
-    x = M.rms_norm(x[:, -1:], params.get("final_norm"), cfg.rms_norm_eps)
+    cache["length"] = cache["length"] + tl
+    x = M.rms_norm(x[:, tl - 1:tl], params.get("final_norm"),
+                   cfg.rms_norm_eps)
     logits = lm_head_logits(params, x)[:, 0]
     return logits, cache
 
 
-@partial(jax.jit, static_argnames=("sc",))
-def prefill_fast(params, cache, input_ids, sc: ServingConfig):
-    """Jitted single-device wrapper of the copy-free stacked prefill."""
-    return _prefill_fast(params, cache, input_ids, sc)
+@partial(jax.jit, static_argnames=("sc", "true_len"))
+def prefill_fast(params, cache, input_ids, sc: ServingConfig,
+                 true_len: int | None = None):
+    """Jitted single-device wrapper of the copy-free stacked prefill.
+    true_len: real prompt length when input_ids is right-padded (length
+    bucketing — every distinct prompt length otherwise compiles its own
+    full-depth program); padded positions are causally invisible to real
+    tokens and length-masked in the cache."""
+    return _prefill_fast(params, cache, input_ids, sc, true_len=true_len)
 
 
 def generate(params, input_ids, sc: ServingConfig, max_new_tokens: int):
