@@ -21,6 +21,7 @@ compiles well:
 from __future__ import annotations
 
 import dataclasses
+import functools
 import logging
 from functools import partial
 
@@ -104,6 +105,16 @@ def _inv_cholesky_upper(H, block: int = 2048):
     return C.T
 
 
+# One jitted program for the whole chain with the (fresh, per-try) input
+# DONATED: eager per-op execution keeps H + L + all solve outputs + the
+# concat + Hinv alive simultaneously and tips the 14336-dim chain over
+# HBM next to the streamed layer state; inside one jit XLA's buffer plan
+# reuses the donated input and intermediate buffers.
+_inv_cholesky_upper_jit = functools.partial(
+    jax.jit, static_argnames=("block",), donate_argnums=(0,))(
+        _inv_cholesky_upper)
+
+
 def prepare_hinv(H, percdamp: float = 0.01, add_until_fail: bool = False,
                  max_tries: int = 50):
     """Dead-column handling + damping + inverse Cholesky factor.
@@ -119,8 +130,9 @@ def prepare_hinv(H, percdamp: float = 0.01, add_until_fail: bool = False,
 
     tries = max_tries if add_until_fail else 1
     for k in range(1, tries + 1):
-        H = H.at[jnp.diag_indices_from(H)].add(damp)
-        U = _inv_cholesky_upper(H)
+        # fresh damped copy per try so the jitted chain can DONATE it
+        Htry = H.at[jnp.diag_indices_from(H)].add(k * damp)
+        U = _inv_cholesky_upper_jit(Htry)
         if bool(jnp.all(jnp.isfinite(U))):
             if k > 1:
                 logger.warning("cholesky needed %d extra dampings", k)
