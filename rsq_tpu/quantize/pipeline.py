@@ -188,6 +188,27 @@ def quantize_model(params, cfg: ModelConfig, rsq: RSQConfig, calib_ids,
 
     from rsq_tpu.models import family
 
+    # layer-streamed memory contract (the reference's layer.to(dev)/.cpu()
+    # pattern, gptq_utils.py:493-676): ALL weights park on host; each layer
+    # is staged onto the device once at the top of its loop iteration and
+    # the quantized result parks back.  Without this, rotation leaves the
+    # full f32 model in HBM (embed+lm_head alone are 4.2 GB at 8B) and the
+    # 14336-dim inverse-Cholesky chain has no room (measured OOM).
+    _host = jax.devices("cpu")[0]
+    _dev = jax.devices()[0]
+
+    def _park(tree):
+        return jax.tree_util.tree_map(
+            lambda a: jax.device_put(a, _host) if isinstance(a, jax.Array)
+            else a, tree, is_leaf=lambda a: a is None)
+
+    def _stage(tree):
+        return jax.tree_util.tree_map(
+            lambda a: jax.device_put(a, _dev) if isinstance(a, jax.Array)
+            else a, tree, is_leaf=lambda a: a is None)
+
+    params = _park(params)
+
     calib_ids = np.asarray(calib_ids)[: rsq.nsamples]
     n, L = calib_ids.shape
     policy = _calibration_policy(rsq, cfg)
@@ -223,7 +244,7 @@ def quantize_model(params, cfg: ModelConfig, rsq: RSQConfig, calib_ids,
     new_layers = []
     for i, lp in enumerate(params["layers"]):
         t_layer = time.perf_counter()
-        lp = dict(lp)
+        lp = _stage(dict(lp))
 
         # per-sample importance weights for this layer (chunked + fused with
         # the outs forward: one dispatch per chunk, not two per sample)
@@ -300,7 +321,7 @@ def quantize_model(params, cfg: ModelConfig, rsq: RSQConfig, calib_ids,
                 lp, jnp.asarray(inps[j:j + c]), cos, sin, cfg, policy, mask,
                 layer=i))
             j += c
-        new_layers.append(lp)
+        new_layers.append(_park(lp))
         logger.info("layer %d quantized in %.1fs", i,
                     time.perf_counter() - t_layer)
 
