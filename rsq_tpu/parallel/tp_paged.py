@@ -78,23 +78,26 @@ def make_paged_tp_step(params, pool, mesh: Mesh, sc: ServingConfig):
         out_specs=(P("dp", None), plspecs),
         check_vma=False))
 
-    def prefill(params, pool, page_row, null_pages, tail, group, *,
-                prefix_pages, prefix_len, prompt_len):
-        def body(params, pool, page_row, null_page, tail, group):
+    def prefill(params, pool, page_row, null_pages, tail, group,
+                prompt_len, *, prefix_pages, prefix_len):
+        # prompt_len rides TRACED through the shard_map (ADVICE r4 #3:
+        # static keying compiled one full-depth prefill per prompt length)
+        def body(params, pool, page_row, null_page, tail, group, plen):
             return _prefill_paged_local(
                 params, pool, page_row, tail, sc, prefix_pages, prefix_len,
-                prompt_len, tp_axis="tp", null_page=null_page, group=group)
+                plen, tp_axis="tp", null_page=null_page, group=group)
 
         fn = jax.shard_map(
             body, mesh=mesh,
-            in_specs=(pspecs, plspecs, P(None), P("dp"), P(None, None), P()),
+            in_specs=(pspecs, plspecs, P(None), P("dp"), P(None, None),
+                      P(), P()),
             out_specs=(P("dp", None), plspecs),
             check_vma=False)
-        return fn(params, pool, page_row, null_pages, tail, group)
+        return fn(params, pool, page_row, null_pages, tail, group,
+                  prompt_len)
 
     prefill = jax.jit(prefill,
-                      static_argnames=("prefix_pages", "prefix_len",
-                                       "prompt_len"))
+                      static_argnames=("prefix_pages", "prefix_len"))
     return prefill, decode
 
 

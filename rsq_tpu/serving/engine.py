@@ -42,28 +42,36 @@ from rsq_tpu.serving.model import (
 from rsq_tpu.serving.model import decode_step_stacked as decode_step_varlen  # noqa: E402
 
 
-@partial(jax.jit, static_argnames=("sc", "slot"))
-def prefill_into_slot(params, cache, input_ids, sc: ServingConfig, slot: int):
+def bucket_length(s: int, lo: int = 16) -> int:
+    """Power-of-two bucket (min `lo`) a prompt of length s pads into."""
+    b = lo
+    while b < s:
+        b *= 2
+    return b
+
+
+@partial(jax.jit, static_argnames=("sc",))
+def prefill_into_slot(params, cache, input_ids, sc: ServingConfig, slot,
+                      true_len=None):
     """Prefill ONE sequence into cache slot `slot`, leaving other slots
-    untouched. input_ids: (1, S_prompt). Returns (logits, cache)."""
-    from rsq_tpu.serving.model import prefill_fast as _prefill
-    sub = {k: (v[:, slot:slot + 1] if k != "length" else v[slot:slot + 1])
+    untouched. input_ids: (1, S_bucket) — callers pad to a power-of-two
+    bucket OUTSIDE this jit and pass the real prompt length as the traced
+    scalar `true_len`, so same-bucket prompts share ONE compiled program
+    (ADVICE r4 #3: padding inside the jit still keyed the trace on the
+    unbucketed length). `slot` is traced too — no per-slot recompiles.
+    Returns (logits, cache)."""
+    from rsq_tpu.serving.model import _prefill_fast
+    sub = {k: (jax.lax.dynamic_slice_in_dim(v, slot, 1, axis=1)
+               if k != "length" else jnp.zeros((1,), jnp.int32))
            for k, v in cache.items()}
-    sub["length"] = jnp.zeros((1,), jnp.int32)
-    # bucket the prompt to a power-of-two length (min 16) so varied prompt
-    # lengths share log2-many compiled prefill programs
-    s = input_ids.shape[1]
-    bucket = 16
-    while bucket < s:
-        bucket *= 2
-    if bucket != s:
-        input_ids = jnp.pad(input_ids, ((0, 0), (0, bucket - s)))
-    logits, sub = _prefill(params, sub, input_ids, sc, true_len=s)
+    logits, sub = _prefill_fast(params, sub, input_ids, sc,
+                                true_len=true_len)
     for k in cache:
         if k == "length":
             cache[k] = cache[k].at[slot].set(sub[k][0])
         else:
-            cache[k] = cache[k].at[:, slot].set(sub[k][:, 0])
+            cache[k] = jax.lax.dynamic_update_slice_in_dim(
+                cache[k], sub[k], slot, axis=1)
     return logits[0], cache
 
 
@@ -118,9 +126,14 @@ class ServingEngine:
                 if self.sched is not None:
                     ok = self.sched.admit(req.uid, slot)
                     assert ok, "scheduler refused admission"
+                # pad to the bucket OUTSIDE the jit; the true length rides
+                # in as a traced scalar (one compile per bucket)
+                s = len(req.prompt_ids)
+                padded = np.zeros((1, bucket_length(s)), np.int32)
+                padded[0, :s] = req.prompt_ids
                 logits, self.cache = prefill_into_slot(
-                    self.params, self.cache,
-                    jnp.asarray(req.prompt_ids[None]), self.sc, slot)
+                    self.params, self.cache, jnp.asarray(padded), self.sc,
+                    slot, true_len=s)
                 tok = int(jnp.argmax(logits))
                 req.output.append(tok)
                 self.slots[slot] = req

@@ -748,8 +748,11 @@ def _decode_step_fast(params, cache, token_ids, sc: ServingConfig,
                     kvq_[:, :nkv], kvp_[:, :nkv],
                     kvq_[:, nkv:], kvp_[:, nkv:])
         else:
-            if sc.kv_hadamard:
-                qk = hadamard_transform_last(qk)
+            # NO hadamard on the bf16-cache path: the rotation exists to
+            # flatten outliers before INT4 quantization; _prefill_fast's
+            # bf16 branch caches unrotated k, so rotating here would mix
+            # rotated q with unrotated prefill keys (ADVICE r4 #2 — a
+            # measured 0.16 max-logit regression)
             qh = qk[:, 0, :nq]
             kb = jnp.swapaxes(qk[:, :, nq:], 1, 2)
             out_old, m_old, l_old = KVK.bf16_decode_attention_stacked(
@@ -878,19 +881,23 @@ def _prefill_fast(params, cache, input_ids, sc: ServingConfig,
     tl = s if true_len is None else true_len
     cache = dict(cache)
     cache["length"] = cache["length"] + tl
-    x = M.rms_norm(x[:, tl - 1:tl], params.get("final_norm"),
-                   cfg.rms_norm_eps)
+    # tl may be a TRACED scalar (length bucketing: same-bucket prompts must
+    # share one compiled program, so the true length cannot key the trace —
+    # ADVICE r4 #3); gather the last real token dynamically
+    x = jax.lax.dynamic_slice_in_dim(x, tl - 1, 1, axis=1)
+    x = M.rms_norm(x, params.get("final_norm"), cfg.rms_norm_eps)
     logits = lm_head_logits(params, x)[:, 0]
     return logits, cache
 
 
-@partial(jax.jit, static_argnames=("sc", "true_len"))
+@partial(jax.jit, static_argnames=("sc",))
 def prefill_fast(params, cache, input_ids, sc: ServingConfig,
-                 true_len: int | None = None):
+                 true_len=None):
     """Jitted single-device wrapper of the copy-free stacked prefill.
     true_len: real prompt length when input_ids is right-padded (length
-    bucketing — every distinct prompt length otherwise compiles its own
-    full-depth program); padded positions are causally invisible to real
+    bucketing); traced, NOT static — same-bucket prompts share one
+    compiled program (ADVICE r4 #3: a static true_len re-keyed the trace
+    per prompt length).  Padded positions are causally invisible to real
     tokens and length-masked in the cache."""
     return _prefill_fast(params, cache, input_ids, sc, true_len=true_len)
 

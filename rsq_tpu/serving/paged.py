@@ -118,10 +118,9 @@ def _gather_layer_prefix(pool, layer, page_ids):
     return grab("kq", "kp"), grab("vq", "vp")
 
 
-@partial(jax.jit, static_argnames=("sc", "prefix_pages", "prompt_len",
-                                   "prefix_len"))
+@partial(jax.jit, static_argnames=("sc", "prefix_pages", "prefix_len"))
 def prefill_paged(params, pool, page_row, input_tail, sc: ServingConfig,
-                  prefix_pages: int, prefix_len: int, prompt_len: int):
+                  prefix_pages: int, prefix_len: int, prompt_len=None):
     """Chunked prefill: run the prompt TAIL (everything past the cached
     prefix), attending to [cached prefix ++ tail], and write the tail's
     K/V into this request's pages.
@@ -187,9 +186,11 @@ def prefill_paged(params, pool, page_row, input_tail, sc: ServingConfig,
         h2 = M.rms_norm(x, lp.get("post_norm"), cfg.rms_norm_eps)
         x = x + _mlp(lp, h2, cfg, sc)
 
-    last = prompt_len - prefix_len - 1  # static
-    x = M.rms_norm(x[:, last:last + 1], params.get("final_norm"),
-                   cfg.rms_norm_eps)
+    # prompt_len is TRACED (same-bucket prompts share one compiled program,
+    # ADVICE r4 #3); gather the last real token dynamically
+    last = prompt_len - prefix_len - 1
+    x = jax.lax.dynamic_slice_in_dim(x, last, 1, axis=1)
+    x = M.rms_norm(x, params.get("final_norm"), cfg.rms_norm_eps)
     from rsq_tpu.serving.model import lm_head_logits
     logits = lm_head_logits(params, x)[0, 0]
     return logits, pool
@@ -298,20 +299,22 @@ def _prefill_paged_local(params, pool, page_row, input_tail,
         down = row_out(down, x.dtype)
         x = x + down.reshape(1, st, -1).astype(x.dtype)
 
-    last = prompt_len - prefix_len - 1  # static
-    x = M.rms_norm(x[:, last:last + 1], params.get("final_norm"),
-                   cfg.rms_norm_eps)
+    # prompt_len is TRACED (same-bucket prompts share one compiled program,
+    # ADVICE r4 #3); gather the last real token dynamically
+    last = prompt_len - prefix_len - 1
+    x = jax.lax.dynamic_slice_in_dim(x, last, 1, axis=1)
+    x = M.rms_norm(x, params.get("final_norm"), cfg.rms_norm_eps)
     from rsq_tpu.serving.model import lm_head_logits
     logits = lm_head_logits(params, x)[:, 0]
     return logits, pool
 
 
-@partial(jax.jit, static_argnames=("sc", "prefix_pages", "prompt_len",
-                                   "prefix_len"))
+@partial(jax.jit, static_argnames=("sc", "prefix_pages", "prefix_len"))
 def prefill_paged_fast(params, pool, page_row, input_tail, sc: ServingConfig,
-                       prefix_pages: int, prefix_len: int, prompt_len: int):
+                       prefix_pages: int, prefix_len: int, prompt_len=None):
     """Single-device jitted wrapper of the fast paged prefill.  Returns
-    (last-token logits (V,), pool)."""
+    (last-token logits (V,), pool).  prompt_len is traced — the compile is
+    keyed only on (tail bucket, prefix_pages)."""
     logits, pool = _prefill_paged_local(
         params, pool, page_row, input_tail, sc, prefix_pages, prefix_len,
         prompt_len)
@@ -329,6 +332,8 @@ def _decode_paged_local(params, pool, page_tables, lengths, token_ids,
     L = pool["kq"].shape[0]
     b = token_ids.shape[0]
     hd = cfg.head_dim_
+    page = pool["kq"].shape[-1]
+    fused_append = page >= 128 and page % 128 == 0
     tp, nq, nkv, mix_heads, mix_act, row_out = _fast_path_helpers(cfg,
                                                                   tp_axis)
 
@@ -365,14 +370,30 @@ def _decode_paged_local(params, pool, page_tables, lengths, token_ids,
         kvq_, kvp_ = PKV.to_lane_major(kvq_t, kvp_t)
         kq_, vq_ = kvq_[:, :nkv], kvq_[:, nkv:]
         kp_, vp_ = kvp_[:, :nkv], kvp_[:, nkv:]
-        # ONE kernel per layer: attention (pool read-only, self term folded
-        # analytically) + in-place page append of the new token via aliased
-        # full-page output blocks — no separate append dispatch
         pool = dict(pool)
-        (attn, pool["kq"], pool["kp"], pool["vq"], pool["vp"]) = \
-            PKV.int4_paged_decode_attention_self_append(
-                qh, pool["kq"], pool["kp"], pool["vq"], pool["vp"], i,
-                page_tables, lengths, k_self, v_self, kq_, kp_, vq_, vp_)
+        if fused_append:
+            # ONE kernel per layer: attention (pool read-only, self term
+            # folded analytically) + in-place page append of the new token
+            # via aliased full-page output blocks — no separate append
+            # dispatch.  Contract: page >= 128, 128-multiple (lane-aligned
+            # full-page output blocks).
+            (attn, pool["kq"], pool["kp"], pool["vq"], pool["vp"]) = \
+                PKV.int4_paged_decode_attention_self_append(
+                    qh, pool["kq"], pool["kp"], pool["vq"], pool["vp"], i,
+                    page_tables, lengths, k_self, v_self, kq_, kp_, vq_,
+                    vp_)
+        else:
+            # sub-128 pages (tests / tiny configs) violate the fused
+            # kernel's full-page aliased-output contract (ADVICE r4 #4):
+            # fall back to the separate sub-128-window append, then attend
+            # over the pool including the new token
+            (pool["kq"], pool["kp"], pool["vq"], pool["vp"]) = \
+                PKV.paged_append_pool(
+                    pool["kq"], pool["kp"], pool["vq"], pool["vp"], i,
+                    page_tables, lengths, kq_, kp_, vq_, vp_)
+            attn = PKV.int4_paged_decode_attention(
+                qh, pool["kq"][i], pool["kp"][i], pool["vq"][i],
+                pool["vp"][i], page_tables, lengths + 1)
 
         attn = attn.reshape(b, 1, nq * hd)
         if sc.online_had:

@@ -14,8 +14,14 @@ from rsq_tpu.serving import model as S
 from rsq_tpu.serving.params import to_serving_params
 
 
-@pytest.mark.parametrize("a4,kv_int4", [(True, True), (False, False)])
-def test_stacked_matches_unrolled(a4, kv_int4):
+@pytest.mark.parametrize("a4,kv_int4,kv_had", [
+    (True, True, True), (False, False, False),
+    # bf16 cache with the DEFAULT kv_hadamard=True: the fast decode body
+    # must not rotate q against the unrotated bf16 prefill keys (ADVICE r4
+    # #2 — a measured 0.16 max-logit regression before the gate)
+    (False, False, True),
+])
+def test_stacked_matches_unrolled(a4, kv_int4, kv_had):
     cfg = ModelConfig.tiny(num_layers=3, intermediate_size=128)
     params = M.init_params(cfg, jax.random.PRNGKey(0), scale=0.05)
     calib = D.get_loaders("synthetic", nsamples=2, seqlen=16,
@@ -26,7 +32,7 @@ def test_stacked_matches_unrolled(a4, kv_int4):
     stacked = S.stack_layer_params(sparams)
 
     sc = S.ServingConfig(model=cfg, a4=a4, kv_int4=kv_int4,
-                         kv_hadamard=kv_int4, online_had=False, max_seq=32)
+                         kv_hadamard=kv_had, online_had=False, max_seq=32)
     ids = jnp.asarray(np.random.default_rng(0).integers(
         0, cfg.vocab_size, (2, 8)))
 
