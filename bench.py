@@ -268,17 +268,23 @@ def main():
     # the bf16 stage, round-2 hit a compile-service 500 there — both times
     # the recorded value was null although int4 had measured fine).
     # HEADLINE = the PAGED fast decode (the north-star serving path:
-    # continuous batching over the page pool), page 512: pool pages are
-    # fully contiguous HBM blocks where the contiguous cache's chunk DMAs
-    # stride across the S axis — measured FASTER (7.07 vs 8.78 ms/step,
-    # r4 paged_bench).
+    # continuous batching over the page pool), page 512; interleaved A/B
+    # measured the paged path at parity with the contiguous one (<2%,
+    # BENCHMARKS §1b — an earlier 7.07 ms single-shot was not
+    # reproducible).
     _log("building int4 32L params")
     p32 = build_int4_params(cfg32)
-    int8_head = os.environ.get("RSQ_INT8_LMHEAD") == "1"
+    # int8 lm_head is the DEFAULT since r5: measured PPL delta at the real
+    # (4096, 128256) head is +0.006% (benchmarks/lmhead_ppl.py) for
+    # -0.7 ms/step of the bf16 head's 1.39 ms (trace r5).  Set
+    # RSQ_INT8_LMHEAD=0 for the reference-matching bf16 head
+    # (gptq_utils.py:547-565 keeps the head fp16).
+    int8_head = os.environ.get("RSQ_INT8_LMHEAD", "1") != "0"
     if int8_head:
         from rsq_tpu.serving.model import quantize_lm_head
         p32 = quantize_lm_head(p32)
-        _log("lm_head quantized to int8 (RSQ_INT8_LMHEAD=1)")
+        _log("lm_head quantized to int8 (default; RSQ_INT8_LMHEAD=0 "
+             "to disable)")
     _log("measuring paged int4 32L decode (page 512)")
     t32 = measure_decode_paged(p32, sc32, batch, page=512)
     _log(f"paged int4 32L step={t32*1e3:.2f} ms")

@@ -136,6 +136,85 @@ def int4_decode_attention(q, kq, kp, vq, vp, lengths, *, sm_scale=None,
     return out
 
 
+def _attend_tile(q_ref, kq2d, kpb, vq2d, vpb, base, length,
+                 m_ref, l_ref, acc_ref, *, heads):
+    """One online-softmax step over a (H*D/2, ch) packed K/V tile,
+    accumulating into the (m, l, acc) scratch.  Takes VALUES (already read
+    from whatever blocks hold them — one contiguous chunk, or several
+    concatenated pool pages in the paged kernels); `base` is the global
+    position of the tile's first token.
+    kq2d/vq2d: uint8 (H*D/2, ch) lane-major; kpb/vpb: (H, 2, ch) f32."""
+    H = heads
+    Gp = q_ref.shape[2]
+    D2, ch = kq2d.shape[0] // H, kq2d.shape[1]
+    D = 2 * D2
+
+    q_all = q_ref[0].astype(jnp.float32)              # (H, Gp, D)
+    qsum = jnp.sum(q_all, axis=2, keepdims=True)      # (H, Gp, 1)
+
+    # ---- merged QK dot: ONE (H*Gp, H*D) @ (H*D, ch) block-diagonal
+    # matmul instead of H separate (Gp, D) @ (D, ch) dots.  Same MXU
+    # flop count (off-diagonal blocks are zero but still multiplied),
+    # but M-utilization goes Gp/128 -> H*Gp/128 (6% -> 50% at decode
+    # shapes) and one dot amortizes the MXU pipeline latency that
+    # dominates small-tile matmuls.  The stacked unpack is free:
+    # (H, D/2, ch) reshapes row-major to the (H*D, ch) contraction
+    # layout the dot needs.
+    qflat = q_all.reshape(H * Gp, D).astype(jnp.bfloat16)
+    qtile = jnp.tile(qflat, (1, H))                   # (H*Gp, H*D)
+    col_h = jax.lax.broadcasted_iota(
+        jnp.int32, (H * Gp, H * D), 1) // D
+    row_h = jax.lax.broadcasted_iota(
+        jnp.int32, (H * Gp, H * D), 0) // Gp
+    qbd = jnp.where(col_h == row_h, qtile, 0)
+
+    k_lo, k_hi = _unpack_u4_bf16(kq2d)                # (H*D/2, ch)
+    kf = (jnp.concatenate(
+        [k_lo.reshape(H, D2, ch), k_hi.reshape(H, D2, ch)], axis=1)
+        .reshape(H * D, ch))                          # head-major rows
+    raw = jnp.dot(qbd, kf, preferred_element_type=jnp.float32)
+
+    ks = kpb[:, 0:1, :].astype(jnp.float32)           # (H, 1, ch)
+    kz = kpb[:, 1:2, :].astype(jnp.float32)
+    logits = raw.reshape(H, Gp, ch) * ks - qsum * kz
+
+    pos = base + jax.lax.broadcasted_iota(jnp.int32, logits.shape, 2)
+    logits = jnp.where(pos < length, logits, MASK_VALUE)
+
+    m_prev = m_ref[...][:, :, 0:1]                    # (H, Gp, 1)
+    m_cur = jnp.max(logits, axis=2, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp(logits - m_new)                       # (H, Gp, ch) f32
+    l_new = alpha * l_ref[...][:, :, 0:1] + jnp.sum(p, axis=2,
+                                                    keepdims=True)
+
+    v_lo, v_hi = _unpack_u4_bf16(vq2d)
+    vs = vpb[:, 0:1, :].astype(jnp.float32)           # (H, 1, ch)
+    vz = vpb[:, 1:2, :].astype(jnp.float32)
+
+    # PV stays as H per-head dots: a merged block-diagonal PV (the QK
+    # trick) was tried and measured SLOWER end-to-end (9.69 vs
+    # 8.83 ms/step, r3) — building the (H*Gp, H*ch) block-diagonal P
+    # and transposing V to (D, H*ch) costs more VPU/relayout time than
+    # the H small dots' pipeline latency.
+    ps = (p * vs).astype(jnp.bfloat16)                # (H, Gp, ch)
+    pz = jnp.sum(p * vz, axis=2, keepdims=True)       # (H, Gp, 1)
+    ts = []
+    for h in range(heads):
+        vf = jnp.concatenate(
+            [v_lo[h * D2:(h + 1) * D2], v_hi[h * D2:(h + 1) * D2]],
+            axis=0)                                   # (D, ch)
+        ts.append(jax.lax.dot_general(
+            ps[h], vf, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32))      # (Gp, D)
+    t = jnp.stack(ts)
+
+    acc_ref[...] = acc_ref[...] * alpha + t - pz
+    m_ref[...] = jnp.broadcast_to(m_new, m_ref.shape)
+    l_ref[...] = jnp.broadcast_to(l_new, l_ref.shape)
+
+
 def _attend_chunks(idx_ref, q_ref, kq_ref, kp_ref, vq_ref, vp_ref,
                    m_ref, l_ref, acc_ref, *, chunk, heads):
     """Shared chunk body of the stacked INT4 flash-decode kernels: one
@@ -155,76 +234,11 @@ def _attend_chunks(idx_ref, q_ref, kq_ref, kp_ref, vq_ref, vp_ref,
     @pl.when(base < length)
     def _():
         H = heads
-        Gp = q_ref.shape[2]
         D2, ch = kq_ref.shape[3], kq_ref.shape[4]
-        D = 2 * D2
-
-        q_all = q_ref[0].astype(jnp.float32)              # (H, Gp, D)
-        qsum = jnp.sum(q_all, axis=2, keepdims=True)      # (H, Gp, 1)
-
-        # ---- merged QK dot: ONE (H*Gp, H*D) @ (H*D, ch) block-diagonal
-        # matmul instead of H separate (Gp, D) @ (D, ch) dots.  Same MXU
-        # flop count (off-diagonal blocks are zero but still multiplied),
-        # but M-utilization goes Gp/128 -> H*Gp/128 (6% -> 50% at decode
-        # shapes) and one dot amortizes the MXU pipeline latency that
-        # dominates small-tile matmuls.  The stacked unpack is free:
-        # (H, D/2, ch) reshapes row-major to the (H*D, ch) contraction
-        # layout the dot needs.
-        qflat = q_all.reshape(H * Gp, D).astype(jnp.bfloat16)
-        qtile = jnp.tile(qflat, (1, H))                   # (H*Gp, H*D)
-        col_h = jax.lax.broadcasted_iota(
-            jnp.int32, (H * Gp, H * D), 1) // D
-        row_h = jax.lax.broadcasted_iota(
-            jnp.int32, (H * Gp, H * D), 0) // Gp
-        qbd = jnp.where(col_h == row_h, qtile, 0)
-
-        k_lo, k_hi = _unpack_u4_bf16(
-            kq_ref[0, 0].reshape(H * D2, ch))             # (H*D/2, ch)
-        kf = (jnp.concatenate(
-            [k_lo.reshape(H, D2, ch), k_hi.reshape(H, D2, ch)], axis=1)
-            .reshape(H * D, ch))                          # head-major rows
-        raw = jnp.dot(qbd, kf, preferred_element_type=jnp.float32)
-
-        ks = kp_ref[0, 0, :, 0:1, :].astype(jnp.float32)  # (H, 1, ch)
-        kz = kp_ref[0, 0, :, 1:2, :].astype(jnp.float32)
-        logits = raw.reshape(H, Gp, ch) * ks - qsum * kz
-
-        pos = base + jax.lax.broadcasted_iota(jnp.int32, logits.shape, 2)
-        logits = jnp.where(pos < length, logits, MASK_VALUE)
-
-        m_prev = m_ref[...][:, :, 0:1]                    # (H, Gp, 1)
-        m_cur = jnp.max(logits, axis=2, keepdims=True)
-        m_new = jnp.maximum(m_prev, m_cur)
-        alpha = jnp.exp(m_prev - m_new)
-        p = jnp.exp(logits - m_new)                       # (H, Gp, ch) f32
-        l_new = alpha * l_ref[...][:, :, 0:1] + jnp.sum(p, axis=2,
-                                                        keepdims=True)
-
-        v_lo, v_hi = _unpack_u4_bf16(
-            vq_ref[0, 0].reshape(H * D2, ch))
-        vs = vp_ref[0, 0, :, 0:1, :].astype(jnp.float32)  # (H, 1, ch)
-        vz = vp_ref[0, 0, :, 1:2, :].astype(jnp.float32)
-
-        # PV stays as H per-head dots: a merged block-diagonal PV (the QK
-        # trick) was tried and measured SLOWER end-to-end (9.69 vs
-        # 8.83 ms/step, r3) — building the (H*Gp, H*ch) block-diagonal P
-        # and transposing V to (D, H*ch) costs more VPU/relayout time than
-        # the H small dots' pipeline latency.
-        ps = (p * vs).astype(jnp.bfloat16)                # (H, Gp, ch)
-        pz = jnp.sum(p * vz, axis=2, keepdims=True)       # (H, Gp, 1)
-        ts = []
-        for h in range(heads):
-            vf = jnp.concatenate(
-                [v_lo[h * D2:(h + 1) * D2], v_hi[h * D2:(h + 1) * D2]],
-                axis=0)                                   # (D, ch)
-            ts.append(jax.lax.dot_general(
-                ps[h], vf, dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32))      # (Gp, D)
-        t = jnp.stack(ts)
-
-        acc_ref[...] = acc_ref[...] * alpha + t - pz
-        m_ref[...] = jnp.broadcast_to(m_new, m_ref.shape)
-        l_ref[...] = jnp.broadcast_to(l_new, l_ref.shape)
+        _attend_tile(q_ref, kq_ref[0, 0].reshape(H * D2, ch),
+                     kp_ref[0, 0], vq_ref[0, 0].reshape(H * D2, ch),
+                     vp_ref[0, 0], base, length, m_ref, l_ref, acc_ref,
+                     heads=heads)
 
 
 def _decode_kernel_pref(idx_ref, q_ref, kq_ref, kp_ref, vq_ref,

@@ -902,7 +902,10 @@ def w8_matmul(x, w8, scale, *, block_m: int | None = None,
     bm = min(block_m or 128, _round_up(M, 16))
     decode = M <= 32
     bn = _divisor_block(N, block_n or (2048 if decode else 512))
-    bk = _divisor_block(K, block_k or 512)
+    # decode default bk 2048: at the lm_head shape (4096, 128256) bn lands
+    # on 768 (128256 = 2^8*3*167), and bk 512 makes 1336 grid steps of
+    # 0.4 MB — grid-overhead-bound; 2048 quarters the step count
+    bk = _divisor_block(K, block_k or (2048 if decode else 512))
     pm = (-M) % bm
     if pm:
         x = jnp.pad(x, ((0, pm), (0, 0)))

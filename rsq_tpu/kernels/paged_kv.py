@@ -39,91 +39,206 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from rsq_tpu.kernels.kv_cache import (
-    MASK_VALUE, _attend_chunks, _self_fold_finalize,
+    MASK_VALUE, _attend_tile, _self_fold_finalize,
     _unpack_u4_bf16, asym_quant_pack_head, to_lane_major,
     unpack_dequant_head)
 
 
 # ---------------------------------------------------------------------------
-# Decode kernels.  Same all-heads-per-grid-cell shape as the contiguous
-# stacked kernel (kv_cache._attend_chunks): grid (B, NP), each step streams
-# one POOL PAGE covering every kv head — the per-(B, H, page) grid this file
-# ran through round 3 measured ~5x slower on the contiguous kernel's own
-# ablations (BENCHMARKS §3: narrow per-head blocks spend ~0.65 us of grid
-# overhead per 0.09 us of DMA; the merged block-diagonal QK dot lifts MXU
-# M-utilization Gp/128 -> H*Gp/128).  The pool block (1, 1, Hkv, D/2, page)
-# has exactly the contiguous kernel's block shape with chunk=page, so the
-# kernel BODY is shared verbatim — only the BlockSpec index maps differ
-# (page-table indirection instead of a sequence offset).
+# Decode kernels.  Grid (B, ceil(NP/gp)); the page pools stay in HBM
+# (memory_space=ANY) and each grid step MANUALLY DMAs a GROUP of gp pages
+# (~512 tokens, all kv heads) into double-buffered VMEM scratch — the
+# next work item's pages prefetch while the current group computes (the
+# jax public paged_attention kernel's chain, jax/experimental/pallas/ops/
+# tpu/paged_attention/paged_attention_kernel.py, adapted to this pool's
+# lane-major INT4 layout).  One wide (gp*page)-lane online-softmax tile
+# per step — the same cell shape as the contiguous stacked kernel; the
+# tile math is shared verbatim (kv_cache._attend_tile).  The
+# one-page-per-BlockSpec-step grid this file ran through round 4
+# dispatched 64 steps at B=8 NP=8 page=128 and measured 63 us/layer vs
+# the contiguous kernel's 29 (trace r5): per-step grid overhead
+# (~0.65 us, BENCHMARKS §3) and the narrow 128-lane QK dot both amortize
+# over the group.  Lengths-driven skipping is exact: dead groups and
+# zero-length rows issue no DMAs and no compute.
 # ---------------------------------------------------------------------------
 
-def _paged_kernel_fast(idx_ref, ptab_ref, q_ref, kq_ref, kp_ref, vq_ref,
-                       vp_ref, out_ref, m_ref, l_ref, acc_ref, *,
-                       page, npages, heads):
-    _attend_chunks(idx_ref, q_ref, kq_ref, kp_ref, vq_ref, vp_ref,
-                   m_ref, l_ref, acc_ref, chunk=page, heads=heads)
+def pick_page_group(NP: int, page: int, target: int = 512) -> int:
+    """Pages per compute block: ~target tokens per grid step, capped at 8
+    pages (VMEM headroom) and at the table width."""
+    return max(1, min(target // max(page, 1), 8, NP))
 
-    @pl.when(pl.program_id(1) == npages - 1)
+
+def _next_work(idx_ref, b, i, *, B, bk):
+    """Next real (row, group) work item after (b, i) — the prefetch target
+    for the double-buffered DMA chain (the pattern of jax's public
+    paged_attention kernel, jax/experimental/pallas/ops/tpu/
+    paged_attention/paged_attention_kernel.py): advance the group within
+    the row while it still covers cached tokens, else to the first group
+    of the next row with a nonzero length (row == B when no work
+    remains)."""
+
+    def adv_b():
+        nb = b + 1
+        nb = jax.lax.fori_loop(
+            0, B, lambda _, x: jnp.where(
+                (x < B) & (idx_ref[1 + jnp.minimum(x, B - 1)] == 0),
+                x + 1, x), nb)
+        return nb, jnp.int32(0)
+
+    return jax.lax.cond((i + 1) * bk < idx_ref[1 + b],
+                        lambda: (b, jnp.int32(i + 1)), adv_b)
+
+
+def _group_copies(idx_ref, ptab_ref, kq_hbm, kp_hbm, vq_hbm, vp_hbm,
+                  kbuf, kpbuf, vbuf, vpbuf, sems, bb, ii, slot, *,
+                  page, gp, B):
+    """The 4*gp async page copies loading work item (bb, ii) into buffer
+    `slot`: group member j covers table slot ii*gp+j, clamped to the
+    row's last valid page (a repeated DMA of that page is cheap and its
+    repeated positions are length-masked in the tile).  Each member lands
+    in lane window [j*page, (j+1)*page) of its buffer, so the loaded
+    group is (Hkv, x, gp*page) with global positions in lane order — the
+    (Hkv*x, gp*page) tile view is a free sublane reshape, no in-kernel
+    relayout."""
+    bs = jnp.minimum(bb, B - 1)
+    lb = idx_ref[1 + bs]
+    last = jnp.maximum((lb + page - 1) // page - 1, 0)
+    layer = idx_ref[0]
+    out = []
+    for j in range(gp):
+        pid = ptab_ref[bs, jnp.minimum(ii * gp + j, last)]
+        for t, (hbm, buf) in enumerate(
+                ((kq_hbm, kbuf), (kp_hbm, kpbuf),
+                 (vq_hbm, vbuf), (vp_hbm, vpbuf))):
+            out.append(pltpu.make_async_copy(
+                hbm.at[layer, pid],
+                buf.at[slot, :, :, pl.ds(j * page, page)],
+                sems.at[slot, t]))
+    return out
+
+
+def _paged_dma_attend(idx_ref, ptab_ref, bidx_ref, init_ref, q_ref,
+                      kq_hbm, kp_hbm, vq_hbm, vp_hbm, kbuf, kpbuf, vbuf,
+                      vpbuf, sems, m_ref, l_ref, acc_ref, *, page, gp,
+                      npg, B, heads):
+    """Shared manual-DMA attention body of the paged decode kernels.
+
+    Grid (B, ceil(NP/gp)); the page pools stay in HBM (memory_space=ANY)
+    and each real work item's gp pages are copied into double-buffered
+    VMEM scratch while the previous group computes — one wide
+    (gp*page)-lane _attend_tile per grid step, the same cell shape as the
+    contiguous stacked kernel.  BlockSpec-pipelined page groups were
+    tried first (one operand per group member) and measured WORSE than
+    the one-page grid (101 vs 80 us/layer read-only; the aliased fused
+    variant pathologically copied the f32 scale pools per layer) — the
+    manual chain keeps one operand per pool and prefetches across row
+    boundaries, skipping dead groups exactly (lengths-driven, not
+    grid-driven).  Steps whose group is beyond the row's fill do nothing;
+    zero-length rows are skipped entirely (the init at i==0 still runs so
+    finalizers see a defined state)."""
+    b, i = pl.program_id(0), pl.program_id(1)
+    length = idx_ref[1 + b]
+    bk = gp * page
+
+    @pl.when(i == 0)
+    def _():
+        m_ref[...] = jnp.full_like(m_ref, -jnp.inf)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    def copies(bb, ii, slot):
+        return _group_copies(idx_ref, ptab_ref, kq_hbm, kp_hbm, vq_hbm,
+                             vp_hbm, kbuf, kpbuf, vbuf, vpbuf, sems,
+                             bb, ii, slot, page=page, gp=gp, B=B)
+
+    @pl.when(i * bk < length)
+    def _():
+        init_flag = init_ref[0]
+        init_ref[0] = 0
+        slot = bidx_ref[0]
+        nb, ni = _next_work(idx_ref, b, i, B=B, bk=bk)
+
+        @pl.when(init_flag == 1)
+        def _():  # very first real work item: nothing was prefetched yet
+            for c in copies(b, i, slot):
+                c.start()
+
+        @pl.when(nb < B)
+        def _():  # overlap the next work item's pages with this compute
+            for c in copies(nb, ni, 1 - slot):
+                c.start()
+            bidx_ref[0] = 1 - slot
+
+        for c in copies(b, i, slot):
+            c.wait()
+        H = heads
+        D2 = kbuf.shape[2]
+        ch = gp * page
+        _attend_tile(q_ref, kbuf[slot].reshape(H * D2, ch), kpbuf[slot],
+                     vbuf[slot].reshape(H * D2, ch), vpbuf[slot],
+                     i * bk, length, m_ref, l_ref, acc_ref, heads=H)
+
+
+def _fin_cond(idx_ref, *, bk, npg):
+    """Finalize at the row's LAST REAL group (not the last grid step):
+    steps past the fill then do zero work — at fill 512 of max_seq 1024
+    that halves the executed steps.  Zero-length rows have no real group,
+    so they finalize at the final grid step (scratch was initialized at
+    i == 0; the self-fold variants still emit the self term).  The output
+    block's index map is constant per row, so pallas flushes whatever the
+    finalize wrote when the row ends, whichever step wrote it."""
+    b, i = pl.program_id(0), pl.program_id(1)
+    length = idx_ref[1 + b]
+    last_real = (i * bk < length) & ((i + 1) * bk >= length)
+    return last_real | ((length == 0) & (i == npg - 1))
+
+
+def _paged_kernel_fast(idx_ref, ptab_ref, bidx_ref, init_ref, q_ref,
+                       kq_hbm, kp_hbm, vq_hbm, vp_hbm, out_ref, kbuf,
+                       kpbuf, vbuf, vpbuf, sems, m_ref, l_ref, acc_ref,
+                       *, page, gp, npg, B, heads):
+    _paged_dma_attend(idx_ref, ptab_ref, bidx_ref, init_ref, q_ref,
+                      kq_hbm, kp_hbm, vq_hbm, vp_hbm, kbuf, kpbuf, vbuf,
+                      vpbuf, sems, m_ref, l_ref, acc_ref, page=page,
+                      gp=gp, npg=npg, B=B, heads=heads)
+
+    @pl.when(_fin_cond(idx_ref, bk=gp * page, npg=npg))
     def _():
         out_ref[0] = (acc_ref[...] /
                       l_ref[...][:, :, 0:1]).astype(out_ref.dtype)
 
 
-def _paged_kernel_fast_self(idx_ref, ptab_ref, q_ref, kq_ref, kp_ref, vq_ref,
-                            vp_ref, ks_ref, vs_ref, out_ref, m_ref, l_ref,
-                            acc_ref, *, page, npages, heads):
+def _paged_kernel_fast_self(idx_ref, ptab_ref, bidx_ref, init_ref, q_ref,
+                            kq_hbm, kp_hbm, vq_hbm, vp_hbm, ks_ref,
+                            vs_ref, out_ref, kbuf, kpbuf, vbuf, vpbuf,
+                            sems, m_ref, l_ref, acc_ref, *, page, gp,
+                            npg, B, heads):
     """Self-folding twin (kv_cache._decode_kernel_pref_self): the CURRENT
     token's dequantized (k_self, v_self) joins as one more online-softmax
     step in the finalize, so the kernel only ever READS the pool and the
     caller's append can stay in place."""
-    _attend_chunks(idx_ref, q_ref, kq_ref, kp_ref, vq_ref, vp_ref,
-                   m_ref, l_ref, acc_ref, chunk=page, heads=heads)
+    _paged_dma_attend(idx_ref, ptab_ref, bidx_ref, init_ref, q_ref,
+                      kq_hbm, kp_hbm, vq_hbm, vp_hbm, kbuf, kpbuf, vbuf,
+                      vpbuf, sems, m_ref, l_ref, acc_ref, page=page,
+                      gp=gp, npg=npg, B=B, heads=heads)
 
-    @pl.when(pl.program_id(1) == npages - 1)
+    @pl.when(_fin_cond(idx_ref, bk=gp * page, npg=npg))
     def _():
         _self_fold_finalize(q_ref, ks_ref, vs_ref, out_ref, m_ref, l_ref,
                             acc_ref)
 
 
-def _paged_grid_spec(B, Hkv, D, page, NP, Gp, with_self: bool):
-    """PrefetchScalarGridSpec shared by the two paged decode kernels.
-    Scalar prefetch: idx = [layer, lengths...], ptab (B, NP).  Padding
-    page-table entries repeat the LAST VALID page id via the clamp below, so
-    consecutive identical block indices skip their DMAs — a sequence at fill
-    f only streams ceil(f/page) pages (same trick as the contiguous
-    kernel's clamp_s)."""
-
-    def clamp_p(p, idx, ptab, b):
-        last = jnp.maximum((idx[1 + b] + page - 1) // page - 1, 0)
-        return ptab[b, jnp.minimum(p, last)]
-
-    def pool_spec(x):
-        return pl.BlockSpec(
-            (1, 1, Hkv, x, page),
-            lambda b, p, idx, ptab, x=x: (idx[0], clamp_p(p, idx, ptab, b),
-                                          0, 0, 0))
-
-    in_specs = [
-        pl.BlockSpec((1, Hkv, Gp, D), lambda b, p, idx, ptab: (b, 0, 0, 0)),
-        pool_spec(D // 2), pool_spec(2), pool_spec(D // 2), pool_spec(2),
+def _paged_scratch(Hkv, D, ch, Gp, kp_dtype):
+    return [
+        pltpu.VMEM((2, Hkv, D // 2, ch), jnp.uint8),
+        pltpu.VMEM((2, Hkv, 2, ch), kp_dtype),
+        pltpu.VMEM((2, Hkv, D // 2, ch), jnp.uint8),
+        pltpu.VMEM((2, Hkv, 2, ch), kp_dtype),
+        pltpu.SemaphoreType.DMA((2, 4)),
+        pltpu.VMEM((Hkv, Gp, 128), jnp.float32),
+        pltpu.VMEM((Hkv, Gp, 128), jnp.float32),
+        pltpu.VMEM((Hkv, Gp, D), jnp.float32),
     ]
-    if with_self:
-        in_specs += [
-            pl.BlockSpec((1, Hkv, D), lambda b, p, idx, ptab: (b, 0, 0)),
-            pl.BlockSpec((1, Hkv, D), lambda b, p, idx, ptab: (b, 0, 0)),
-        ]
-    return pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(B, NP),
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, Hkv, Gp, D),
-                               lambda b, p, idx, ptab: (b, 0, 0, 0)),
-        scratch_shapes=[
-            pltpu.VMEM((Hkv, Gp, 128), jnp.float32),
-            pltpu.VMEM((Hkv, Gp, 128), jnp.float32),
-            pltpu.VMEM((Hkv, Gp, D), jnp.float32),
-        ],
-    )
 
 
 def _paged_q_prep(q, Hkv, sm_scale):
@@ -173,17 +288,29 @@ def int4_paged_decode_attention_stacked(q, kq_all, kp_all, vq_all, vp_all,
     B, Hq, D = q.shape
     L, P, Hkv, _, page = kq_all.shape
     NP = page_table.shape[1]
+    gp = pick_page_group(NP, page)
+    npg = -(-NP // gp)
     qg, G, Gp = _paged_q_prep(q, Hkv, sm_scale)
 
+    qspec = pl.BlockSpec((1, Hkv, Gp, D), lambda b, p, *_: (b, 0, 0, 0))
     out = pl.pallas_call(
-        functools.partial(_paged_kernel_fast, page=page, npages=NP,
-                          heads=Hkv),
-        grid_spec=_paged_grid_spec(B, Hkv, D, page, NP, Gp, with_self=False),
+        functools.partial(_paged_kernel_fast, page=page, gp=gp, npg=npg,
+                          B=B, heads=Hkv),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=4,
+            grid=(B, npg),
+            in_specs=[qspec] + [pl.BlockSpec(memory_space=pl.ANY)] * 4,
+            out_specs=qspec,
+            scratch_shapes=_paged_scratch(Hkv, D, gp * page, Gp,
+                                          kp_all.dtype),
+        ),
         out_shape=jax.ShapeDtypeStruct((B, Hkv, Gp, D), q.dtype),
         interpret=interpret,
     )(jnp.concatenate([jnp.asarray(layer, jnp.int32).reshape(1),
                        lengths.astype(jnp.int32)]),
-      page_table.astype(jnp.int32), qg, kq_all, kp_all, vq_all, vp_all)
+      page_table.astype(jnp.int32),
+      jnp.zeros((1,), jnp.int32), jnp.ones((1,), jnp.int32),
+      qg, kq_all, kp_all, vq_all, vp_all)
     return out[:, :, :G, :].reshape(B, Hq, D)
 
 
@@ -203,17 +330,31 @@ def int4_paged_decode_attention_stacked_self(q, kq_all, kp_all, vq_all,
     B, Hq, D = q.shape
     L, P, Hkv, _, page = kq_all.shape
     NP = page_table.shape[1]
+    gp = pick_page_group(NP, page)
+    npg = -(-NP // gp)
     qg, G, Gp = _paged_q_prep(q, Hkv, sm_scale)
 
+    qspec = pl.BlockSpec((1, Hkv, Gp, D), lambda b, p, *_: (b, 0, 0, 0))
+    sspec = pl.BlockSpec((1, Hkv, D), lambda b, p, *_: (b, 0, 0))
     out = pl.pallas_call(
-        functools.partial(_paged_kernel_fast_self, page=page, npages=NP,
-                          heads=Hkv),
-        grid_spec=_paged_grid_spec(B, Hkv, D, page, NP, Gp, with_self=True),
+        functools.partial(_paged_kernel_fast_self, page=page, gp=gp,
+                          npg=npg, B=B, heads=Hkv),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=4,
+            grid=(B, npg),
+            in_specs=([qspec] + [pl.BlockSpec(memory_space=pl.ANY)] * 4
+                      + [sspec, sspec]),
+            out_specs=qspec,
+            scratch_shapes=_paged_scratch(Hkv, D, gp * page, Gp,
+                                          kp_all.dtype),
+        ),
         out_shape=jax.ShapeDtypeStruct((B, Hkv, Gp, D), q.dtype),
         interpret=interpret,
     )(jnp.concatenate([jnp.asarray(layer, jnp.int32).reshape(1),
                        lengths.astype(jnp.int32)]),
-      page_table.astype(jnp.int32), qg, kq_all, kp_all, vq_all, vp_all,
+      page_table.astype(jnp.int32),
+      jnp.zeros((1,), jnp.int32), jnp.ones((1,), jnp.int32),
+      qg, kq_all, kp_all, vq_all, vp_all,
       k_self.astype(jnp.float32), v_self.astype(jnp.float32))
     return out[:, :, :G, :].reshape(B, Hq, D)
 
@@ -238,44 +379,72 @@ def int4_paged_decode_attention_reference(q, kq, kp, vq, vp, page_table,
 # Fused attention + append (single kernel per layer per step)
 # ---------------------------------------------------------------------------
 
-def _paged_kernel_self_append(idx_ref, ptab_ref, q_ref, kq_ref, kp_ref,
-                              vq_ref, vp_ref, ks_ref, vs_ref, nkq_ref,
-                              nkp_ref, nvq_ref, nvp_ref, out_ref, okq_ref,
-                              okp_ref, ovq_ref, ovp_ref, m_ref, l_ref,
-                              acc_ref, *, page, npages, heads):
+def _paged_kernel_self_append(idx_ref, ptab_ref, bidx_ref, init_ref,
+                              q_ref, kq_hbm, kp_hbm, vq_hbm, vp_hbm,
+                              ks_ref, vs_ref, nkq_ref, nkp_ref, nvq_ref,
+                              nvp_ref, out_ref, okq_ref, okp_ref, ovq_ref,
+                              ovp_ref, kbuf, kpbuf, vbuf, vpbuf, sems,
+                              wkq, wkp, wvq, wvp, wsems, m_ref, l_ref,
+                              acc_ref, *, page, gp, npg, B, heads):
     """Self-folding paged decode that ALSO appends the new token, in ONE
-    kernel: the finalize grid step already holds the sequence's last valid
-    page in VMEM (the clamped chunk DMA), which is exactly the page the
-    append writes when pos % page != 0 — so the updated page is emitted as
-    an aliased output block and the separate append kernel (one more
-    dispatch per layer per step, 0.2 ms/step measured r3) disappears.
-    When the append opens a FRESH page (pos % page == 0) the flushed
-    block's other lanes carry stale content — harmless: every read masks
-    by `lengths`, and future appends overwrite the lanes in order.
+    kernel.  The WRITE page (ptab[b, lengths[b] // page], possibly
+    partially filled) is staged into dedicated VMEM scratch by an async
+    copy started at the row's first grid step and waited at its finalize
+    — it cannot come from the attention double-buffer, whose slot may
+    already hold the NEXT row's prefetched group when the row's final
+    grid steps are length-skipped.  The updated page flushes as an
+    aliased full-page output block, so the separate append kernel (one
+    more dispatch per layer per step, 0.2 ms/step measured r3)
+    disappears.  When the append opens a FRESH page (pos % page == 0) the
+    flushed block's other lanes carry stale content — harmless: every
+    read masks by `lengths`, and future appends overwrite the lanes in
+    order.
 
     nk*/nv* are the new token's lane-major quantized values broadcast to
-    128 lanes; out*_ref are full-page blocks at the WRITE page
-    (ptab[b, pos // page]), flushed once per batch row."""
-    _attend_chunks(idx_ref, q_ref, kq_ref, kp_ref, vq_ref, vp_ref,
-                   m_ref, l_ref, acc_ref, chunk=page, heads=heads)
-    b = pl.program_id(0)
-    col = idx_ref[1 + b] % page
+    128 lanes; out*_ref are full-page blocks at the WRITE page, flushed
+    once per batch row."""
+    b, i = pl.program_id(0), pl.program_id(1)
+    length = idx_ref[1 + b]
+    layer = idx_ref[0]
 
-    @pl.when(pl.program_id(1) == npages - 1)
+    def wcopies():
+        wpid = ptab_ref[b, length // page]
+        wlane = ((length % page) // 128) * 128
+        return [pltpu.make_async_copy(
+                    h.at[layer, wpid, :, :, pl.ds(wlane, 128)], w,
+                    wsems.at[t])
+                for t, (h, w) in enumerate(
+                    ((kq_hbm, wkq), (kp_hbm, wkp),
+                     (vq_hbm, wvq), (vp_hbm, wvp)))]
+
+    @pl.when(i == 0)
+    def _():  # stage the write page for the append flush at row end
+        for c in wcopies():
+            c.start()
+
+    _paged_dma_attend(idx_ref, ptab_ref, bidx_ref, init_ref, q_ref,
+                      kq_hbm, kp_hbm, vq_hbm, vp_hbm, kbuf, kpbuf, vbuf,
+                      vpbuf, sems, m_ref, l_ref, acc_ref, page=page,
+                      gp=gp, npg=npg, B=B, heads=heads)
+
+    @pl.when(_fin_cond(idx_ref, bk=gp * page, npg=npg))
     def _():
         _self_fold_finalize(q_ref, ks_ref, vs_ref, out_ref, m_ref, l_ref,
                             acc_ref)
+        for c in wcopies():
+            c.wait()
+        col = length % 128  # within the staged 128-lane window
 
-        def wr(o_ref, c_ref, n_ref):
+        def wr(o_ref, cbuf, n_ref):
             h, x = n_ref.shape[1], n_ref.shape[2]
-            lane = jax.lax.broadcasted_iota(jnp.int32, (h, x, page), 2)
-            new = jnp.broadcast_to(n_ref[0, :, :, 0:1], (h, x, page))
-            o_ref[0, 0] = jnp.where(lane == col, new, c_ref[0, 0])
+            lane = jax.lax.broadcasted_iota(jnp.int32, (h, x, 128), 2)
+            new = jnp.broadcast_to(n_ref[0, :, :, 0:1], (h, x, 128))
+            o_ref[0, 0] = jnp.where(lane == col, new, cbuf[...])
 
-        wr(okq_ref, kq_ref, nkq_ref)
-        wr(okp_ref, kp_ref, nkp_ref)
-        wr(ovq_ref, vq_ref, nvq_ref)
-        wr(ovp_ref, vp_ref, nvp_ref)
+        wr(okq_ref, wkq, nkq_ref)
+        wr(okp_ref, wkp, nkp_ref)
+        wr(ovq_ref, wvq, nvq_ref)
+        wr(ovp_ref, wvp, nvp_ref)
 
 
 @functools.partial(jax.jit, static_argnames=("sm_scale", "interpret"))
@@ -300,57 +469,57 @@ def int4_paged_decode_attention_self_append(q, kq_all, kp_all, vq_all,
     B, Hq, D = q.shape
     L, P, Hkv, D2, page = kq_all.shape
     NP = page_table.shape[1]
+    gp = pick_page_group(NP, page)
+    npg = -(-NP // gp)
     qg, G, Gp = _paged_q_prep(q, Hkv, sm_scale)
 
-    def clamp_p(p, idx, ptab, b):
-        last = jnp.maximum((idx[1 + b] + page - 1) // page - 1, 0)
-        return ptab[b, jnp.minimum(p, last)]
-
-    def pool_spec(x):
-        return pl.BlockSpec(
-            (1, 1, Hkv, x, page),
-            lambda b, p, idx, ptab, x=x: (idx[0], clamp_p(p, idx, ptab, b),
-                                          0, 0, 0))
+    qspec = pl.BlockSpec((1, Hkv, Gp, D), lambda b, p, *_: (b, 0, 0, 0))
+    sspec = pl.BlockSpec((1, Hkv, D), lambda b, p, *_: (b, 0, 0))
 
     def wspec(x):
-        # the WRITE page, constant within a batch row (flushed at row end)
+        # the 128-lane WINDOW of the write page holding the append column,
+        # constant within a batch row (flushed at row end).  A full-page
+        # window at page 512 moved ~17 MB/layer of staging+flush traffic
+        # (~0.5 ms/step at B=8, measured r5); the window caps it at the
+        # page-128 cost regardless of page size.
         return pl.BlockSpec(
-            (1, 1, Hkv, x, page),
-            lambda b, p, idx, ptab, x=x: (idx[0],
-                                          ptab[b, idx[1 + b] // page],
-                                          0, 0, 0))
+            (1, 1, Hkv, x, 128),
+            lambda b, p, idx, ptab, bi, fl, x=x: (
+                idx[0], ptab[b, idx[1 + b] // page], 0, 0,
+                (idx[1 + b] % page) // 128))
 
     def nblk(x):
         return pl.BlockSpec((1, Hkv, x, 128),
-                            lambda b, p, idx, ptab: (b, 0, 0, 0))
+                            lambda b, p, *_: (b, 0, 0, 0))
 
     def bcast(v, dt):
         return jnp.broadcast_to(v.astype(dt), (*v.shape[:-1], 128))
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(B, NP),
-        in_specs=[
-            pl.BlockSpec((1, Hkv, Gp, D), lambda b, p, idx, ptab: (b, 0, 0, 0)),
-            pool_spec(D2), pool_spec(2), pool_spec(D2), pool_spec(2),
-            pl.BlockSpec((1, Hkv, D), lambda b, p, idx, ptab: (b, 0, 0)),
-            pl.BlockSpec((1, Hkv, D), lambda b, p, idx, ptab: (b, 0, 0)),
-            nblk(D2), nblk(2), nblk(D2), nblk(2),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, Hkv, Gp, D), lambda b, p, idx, ptab: (b, 0, 0, 0)),
-            wspec(D2), wspec(2), wspec(D2), wspec(2),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((Hkv, Gp, 128), jnp.float32),
-            pltpu.VMEM((Hkv, Gp, 128), jnp.float32),
-            pltpu.VMEM((Hkv, Gp, D), jnp.float32),
-        ],
-    )
+    in_specs = ([qspec] + [pl.BlockSpec(memory_space=pl.ANY)] * 4
+                + [sspec, sspec, nblk(D2), nblk(2), nblk(D2), nblk(2)])
+    scratch = _paged_scratch(Hkv, D, gp * page, Gp, kp_all.dtype)
+    # write-page staging buffers + their semaphores slot in BEFORE the
+    # m/l/acc accumulators (kernel signature order)
+    scratch = scratch[:5] + [
+        pltpu.VMEM((Hkv, D2, 128), kq_all.dtype),
+        pltpu.VMEM((Hkv, 2, 128), kp_all.dtype),
+        pltpu.VMEM((Hkv, D2, 128), vq_all.dtype),
+        pltpu.VMEM((Hkv, 2, 128), vp_all.dtype),
+        pltpu.SemaphoreType.DMA((4,)),
+    ] + scratch[5:]
+
+    # operand indices incl. the 4 scalar-prefetch args: idx=0, ptab=1,
+    # bidx=2, init=3, q=4, pools kq/kp/vq/vp = 5..8 -> outputs 1..4
     out, kq2, kp2, vq2, vp2 = pl.pallas_call(
-        functools.partial(_paged_kernel_self_append, page=page, npages=NP,
-                          heads=Hkv),
-        grid_spec=grid_spec,
+        functools.partial(_paged_kernel_self_append, page=page, gp=gp,
+                          npg=npg, B=B, heads=Hkv),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=4,
+            grid=(B, npg),
+            in_specs=in_specs,
+            out_specs=[qspec, wspec(D2), wspec(2), wspec(D2), wspec(2)],
+            scratch_shapes=scratch,
+        ),
         out_shape=[
             jax.ShapeDtypeStruct((B, Hkv, Gp, D), q.dtype),
             jax.ShapeDtypeStruct(kq_all.shape, kq_all.dtype),
@@ -358,11 +527,13 @@ def int4_paged_decode_attention_self_append(q, kq_all, kp_all, vq_all,
             jax.ShapeDtypeStruct(vq_all.shape, vq_all.dtype),
             jax.ShapeDtypeStruct(vp_all.shape, vp_all.dtype),
         ],
-        input_output_aliases={3: 1, 4: 2, 5: 3, 6: 4},
+        input_output_aliases={5: 1, 6: 2, 7: 3, 8: 4},
         interpret=interpret,
     )(jnp.concatenate([jnp.asarray(layer, jnp.int32).reshape(1),
                        lengths.astype(jnp.int32)]),
-      page_table.astype(jnp.int32), qg, kq_all, kp_all, vq_all, vp_all,
+      page_table.astype(jnp.int32),
+      jnp.zeros((1,), jnp.int32), jnp.ones((1,), jnp.int32),
+      qg, kq_all, kp_all, vq_all, vp_all,
       k_self.astype(jnp.float32), v_self.astype(jnp.float32),
       bcast(nkq, kq_all.dtype), bcast(nkp, kp_all.dtype),
       bcast(nvq, vq_all.dtype), bcast(nvp, vp_all.dtype))
