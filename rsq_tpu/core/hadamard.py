@@ -281,6 +281,29 @@ def hadamard_matrix(n: int, dtype=np.float64) -> np.ndarray:
 # Fast transform (jittable)
 # ---------------------------------------------------------------------------
 
+_DENSE_HAD_CACHE: dict = {}
+
+
+def dense_hadamard(n: int) -> np.ndarray:
+    """The UNNORMALIZED +-1 Hadamard matrix H_n as a dense array, equal to
+    H_K kron H_{2^m} for n = K * 2^m — the dense twin of matmul_hadU's
+    butterfly+block transform (y = H_n @ x / sqrt(n)).  Used by Pallas
+    kernels that fold the per-head transform into an MXU dot
+    (kernels/kv_cache.decode_prep)."""
+    hit = _DENSE_HAD_CACHE.get(n)
+    if hit is not None:
+        return hit
+    K, hadK = get_hadK(n)
+    m = n // K
+    h = np.ones((1, 1), np.float32)
+    while h.shape[0] < m:
+        h = np.block([[h, h], [h, -h]])
+    if K > 1:
+        h = np.kron(np.asarray(hadK, np.float32), h)
+    _DENSE_HAD_CACHE[n] = h
+    return h
+
+
 def fwht(x: jax.Array, axis: int = -1) -> jax.Array:
     """Unnormalized Walsh-Hadamard transform along `axis` (size = 2^m).
 

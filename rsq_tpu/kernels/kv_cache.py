@@ -56,6 +56,29 @@ def _unpack_u4_bf16(packed):
     return lo, hi
 
 
+def _fwht_axis0(y):
+    """Unnormalized Walsh-Hadamard butterfly over axis 0 of (n, D) — the
+    EXACT add/sub DAG of core.hadamard.fwht (bit-identical f32 results),
+    so in-kernel transforms match the XLA-path transforms ulp-for-ulp
+    (a4 cascades amplify even ulp asymmetries between code paths)."""
+    n, D = y.shape
+    h = 1
+    while h < n:
+        yr = y.reshape(n // (2 * h), 2, h, D)
+        a, b = yr[:, 0], yr[:, 1]
+        y = jnp.concatenate([a + b, a - b], axis=1).reshape(n, D)
+        h *= 2
+    return y
+
+
+def _fwht_lanes(y):
+    """fwht over the LAST axis of a 2-D array.  Implemented as
+    transpose -> sublane butterfly -> transpose: the direct lane-splitting
+    reshapes fail to lower in Mosaic, and the add/sub DAG (hence the f32
+    results, bit-for-bit) is unchanged by the layout."""
+    return jnp.swapaxes(_fwht_axis0(jnp.swapaxes(y, 0, 1)), 0, 1)
+
+
 # ---------------------------------------------------------------------------
 # Quantize / pack (jnp; used by append paths)
 # ---------------------------------------------------------------------------
@@ -92,6 +115,109 @@ def to_lane_major(packed, params):
     """(B, H, S, D/2)+(B, H, S, 2) -> (B, H, D/2, S)+(B, H, 2, S), the
     kernel's storage layout."""
     return (jnp.swapaxes(packed, -1, -2), jnp.swapaxes(params, -1, -2))
+
+
+def _decode_prep_kernel(q_ref, k_ref, v_ref, cos_ref, sin_ref, hm_ref,
+                        qh_ref, ks_ref, vs_ref, nkq_ref, nkp_ref,
+                        nvq_ref, nvp_ref, *, kv_had):
+    B, Hq, D = q_ref.shape
+    Hkv = k_ref.shape[1]
+    half = D // 2
+    cos = cos_ref[...].astype(jnp.float32)[:, None, :]
+    sin = sin_ref[...].astype(jnp.float32)[:, None, :]
+
+    # EXACT legacy chain rounding (apply_rope casts back to bf16;
+    # hadamard_transform_last computes the butterfly in f32 and casts
+    # back) — a4 cascades amplify even ulp asymmetries between paths
+    def rope(xr):
+        xf = xr[...].astype(jnp.float32)
+        rot = jnp.concatenate([-xf[..., half:], xf[..., :half]], axis=-1)
+        return (xf * cos + rot * sin).astype(xr.dtype).astype(jnp.float32)
+
+    q = rope(q_ref)
+    k = rope(k_ref)
+    if kv_had:
+        # the BUTTERFLY, not a dense MXU dot: bit-identical to the XLA
+        # path's fwht, which keeps the near-threshold a4 equivalence
+        # margins (TP-vs-single-chip) where the legacy chain had them — a
+        # dense dot's different f32 summation order reshuffled enough
+        # near-tie int4 codes to decorrelate the tiny-model cascades
+        s = 1.0 / math.sqrt(D)
+
+        def had(x):
+            sh = x.shape
+            y = _fwht_lanes(x.reshape(-1, D)) * s
+            return y.astype(jnp.bfloat16).astype(jnp.float32).reshape(sh)
+
+        q = had(q)
+        k = had(k)
+    qh_ref[...] = q.astype(qh_ref.dtype)
+    v = v_ref[...].astype(jnp.float32)
+
+    def qpack(x, s_ref, nq_ref, np_ref):
+        xmax = jnp.max(x, axis=-1, keepdims=True)
+        xmin = jnp.min(x, axis=-1, keepdims=True)
+        scale = jnp.maximum(xmax - xmin, 1e-5) / 15.0
+        zero = -xmin
+        # all integer work stays in i32 (Mosaic: no f32->u8 cast, and the
+        # lane-sliced u8 nibble pack fails to lower); the u8 cast happens
+        # once, after the lane broadcast
+        ui = jnp.clip(jnp.round((x + zero) / scale), 0, 15
+                      ).astype(jnp.int32)
+        packed = ui[..., :half] | (ui[..., half:] << 4)
+        s_ref[...] = ui.astype(jnp.float32) * scale - zero
+        nq_ref[...] = jnp.broadcast_to(
+            packed[..., None], (B, Hkv, half, 128)).astype(jnp.uint8)
+        np_ref[...] = jnp.broadcast_to(
+            jnp.concatenate([scale, zero], axis=-1)[..., None],
+            (B, Hkv, 2, 128))
+
+    qpack(k, ks_ref, nkq_ref, nkp_ref)
+    qpack(v, vs_ref, nvq_ref, nvp_ref)
+
+
+@functools.partial(jax.jit, static_argnames=("kv_had", "interpret"))
+def decode_prep(q, k, v, cos, sin, *, kv_had: bool = True,
+                interpret: bool | None = None):
+    """Fused decode-token prep: RoPE(q, k) -> per-head Hadamard(q, k) ->
+    asym INT4 quant-pack(k, v) + dequantized self values, in ONE Pallas
+    call.  Replaces the ~15 small XLA ops per layer per step (rope
+    fusions, hadamard staging, pack/unpack/transpose chains, append
+    broadcasts) that made up most of the measured ~0.8 ms/step decode
+    layer-loop residue (trace r5).
+
+    q: (B, Hq, D); k/v: (B, Hkv, D); cos/sin: (B, D).
+    Returns (qh (B, Hq, D) q.dtype — rotated rope'd q,
+             k_self, v_self (B, Hkv, D) f32 — dequantized cache-basis,
+             nkq (B, Hkv, D/2, 128) u8, nkp (B, Hkv, 2, 128) f32,
+             nvq, nvp) — the n* outputs are pre-broadcast to 128 lanes,
+    exactly the nblk layout the fused self-append kernels take (their
+    bcast is then a no-op).
+
+    Every transform replicates the legacy XLA chain's exact rounding
+    (bf16 round-trips, the same butterfly add DAG) so fused and unfused
+    paths agree ulp-for-ulp — a4 cascades amplify any asymmetry."""
+    from rsq_tpu.kernels import default_interpret
+    from rsq_tpu.core.hadamard import dense_hadamard
+    interpret = default_interpret(interpret)
+    B, Hq, D = q.shape
+    Hkv = k.shape[1]
+    hm = (jnp.asarray(dense_hadamard(D), jnp.float32) if kv_had
+          else jnp.zeros((D, D), jnp.float32))
+    outs = pl.pallas_call(
+        functools.partial(_decode_prep_kernel, kv_had=kv_had),
+        out_shape=[
+            jax.ShapeDtypeStruct((B, Hq, D), q.dtype),
+            jax.ShapeDtypeStruct((B, Hkv, D), jnp.float32),
+            jax.ShapeDtypeStruct((B, Hkv, D), jnp.float32),
+            jax.ShapeDtypeStruct((B, Hkv, D // 2, 128), jnp.uint8),
+            jax.ShapeDtypeStruct((B, Hkv, 2, 128), jnp.float32),
+            jax.ShapeDtypeStruct((B, Hkv, D // 2, 128), jnp.uint8),
+            jax.ShapeDtypeStruct((B, Hkv, 2, 128), jnp.float32),
+        ],
+        interpret=interpret,
+    )(q, k, v, cos.astype(jnp.float32), sin.astype(jnp.float32), hm)
+    return tuple(outs)
 
 
 def pick_chunk(S: int, target: int) -> int:
@@ -136,20 +262,19 @@ def int4_decode_attention(q, kq, kp, vq, vp, lengths, *, sm_scale=None,
     return out
 
 
-def _attend_tile(q_ref, kq2d, kpb, vq2d, vpb, base, length,
+def _attend_tile(q_all, kq2d, kpb, vq2d, vpb, base, length,
                  m_ref, l_ref, acc_ref, *, heads):
     """One online-softmax step over a (H*D/2, ch) packed K/V tile,
     accumulating into the (m, l, acc) scratch.  Takes VALUES (already read
     from whatever blocks hold them — one contiguous chunk, or several
     concatenated pool pages in the paged kernels); `base` is the global
     position of the tile's first token.
+    q_all: (H, Gp, D) f32, PRE-scaled by sm_scale;
     kq2d/vq2d: uint8 (H*D/2, ch) lane-major; kpb/vpb: (H, 2, ch) f32."""
     H = heads
-    Gp = q_ref.shape[2]
+    Gp = q_all.shape[1]
     D2, ch = kq2d.shape[0] // H, kq2d.shape[1]
     D = 2 * D2
-
-    q_all = q_ref[0].astype(jnp.float32)              # (H, Gp, D)
     qsum = jnp.sum(q_all, axis=2, keepdims=True)      # (H, Gp, 1)
 
     # ---- merged QK dot: ONE (H*Gp, H*D) @ (H*D, ch) block-diagonal
@@ -235,7 +360,8 @@ def _attend_chunks(idx_ref, q_ref, kq_ref, kp_ref, vq_ref, vp_ref,
     def _():
         H = heads
         D2, ch = kq_ref.shape[3], kq_ref.shape[4]
-        _attend_tile(q_ref, kq_ref[0, 0].reshape(H * D2, ch),
+        _attend_tile(q_ref[0].astype(jnp.float32),
+                     kq_ref[0, 0].reshape(H * D2, ch),
                      kp_ref[0, 0], vq_ref[0, 0].reshape(H * D2, ch),
                      vp_ref[0, 0], base, length, m_ref, l_ref, acc_ref,
                      heads=heads)
@@ -274,15 +400,20 @@ def _decode_kernel_pref(idx_ref, q_ref, kq_ref, kp_ref, vq_ref,
         l_out_ref[0] = l_ref[...]
 
 
-def _self_fold_finalize(q_ref, ks_ref, vs_ref, out_ref, m_ref, l_ref,
-                        acc_ref):
+def _self_fold_finalize(q_all, ks, vs, out_ref, m_ref, l_ref,
+                        acc_ref, mix=False, G=None):
     """Shared finalize of the self-folding decode kernels: one more
     online-softmax step over the CURRENT token's (k_self, v_self), then
     normalize and emit.  Exact — it is the same update the chunk loop runs,
-    with a one-column block."""
-    q_all = q_ref[0].astype(jnp.float32)              # (H, Gp, D)
-    ks = ks_ref[0].astype(jnp.float32)                # (H, D)
-    vs = vs_ref[0].astype(jnp.float32)
+    with a one-column block.
+
+    mix=True: the post-attention head-mixing Hadamard (o_proj's online
+    partial Hadamard) fused into the finalize as a butterfly over the
+    head axis — the EXACT DAG of head_mixing_hadamard, so single-chip
+    (fused) and TP (unfused, all-heads) paths agree ulp-for-ulp.
+    Requires pow2 head count (callers gate).  Rows beyond the G real
+    groups (Gp padding) emit zeros."""
+    # q_all: (H, Gp, D) f32 pre-scaled; ks/vs: (H, D) f32
     lg = jnp.sum(q_all * ks[:, None, :], axis=2, keepdims=True)
     m_prev = m_ref[...][:, :, 0:1]                    # (H, Gp, 1)
     m_fin = jnp.maximum(m_prev, lg)
@@ -290,7 +421,22 @@ def _self_fold_finalize(q_ref, ks_ref, vs_ref, out_ref, m_ref, l_ref,
     p = jnp.exp(lg - m_fin)                           # (H, Gp, 1)
     l_fin = l_ref[...][:, :, 0:1] * alpha + p
     acc = acc_ref[...] * alpha + p * vs[:, None, :]
-    out_ref[0] = (acc / l_fin).astype(out_ref.dtype)
+    out = acc / l_fin                                 # (H, Gp, D) f32
+    if not mix:
+        out_ref[0] = out.astype(out_ref.dtype)
+        return
+    H, Gp, D = out.shape
+    # round to the output dtype FIRST: the unfused path mixes the
+    # bf16-rounded attention output
+    out = out.astype(out_ref.dtype).astype(jnp.float32)
+    flat = out[:, :G, :].reshape(H * G, D)
+    mixed = (_fwht_axis0(flat) * (1.0 / math.sqrt(H * G))
+             ).astype(out_ref.dtype).astype(jnp.float32)
+    mixed = mixed.reshape(H, G, D)
+    if Gp != G:
+        mixed = jnp.concatenate(
+            [mixed, jnp.zeros((H, Gp - G, D), jnp.float32)], axis=1)
+    out_ref[0] = mixed.astype(out_ref.dtype)
 
 
 def _decode_kernel_pref_self(idx_ref, q_ref, kq_ref, kp_ref, vq_ref, vp_ref,
@@ -307,8 +453,10 @@ def _decode_kernel_pref_self(idx_ref, q_ref, kq_ref, kp_ref, vq_ref, vp_ref,
 
     @pl.when(pl.program_id(1) == nchunks - 1)
     def _():
-        _self_fold_finalize(q_ref, ks_ref, vs_ref, out_ref, m_ref, l_ref,
-                            acc_ref)
+        _self_fold_finalize(q_ref[0].astype(jnp.float32),
+                            ks_ref[0].astype(jnp.float32),
+                            vs_ref[0].astype(jnp.float32),
+                            out_ref, m_ref, l_ref, acc_ref)
 
 
 @functools.partial(jax.jit, static_argnames=("sm_scale", "chunk", "interpret"))
@@ -468,9 +616,10 @@ def int4_decode_attention_stacked_self(q, kq_all, kp_all, vq_all, vp_all,
 
 def _decode_kernel_self_append(idx_ref, q_ref, kq_ref, kp_ref, vq_ref,
                                vp_ref, ks_ref, vs_ref, nkq_ref, nkp_ref,
-                               nvq_ref, nvp_ref, out_ref, okq_ref, okp_ref,
-                               ovq_ref, ovp_ref, m_ref, l_ref, acc_ref, *,
-                               chunk, nchunks, heads):
+                               nvq_ref, nvp_ref, out_ref, okq_ref,
+                               okp_ref, ovq_ref, ovp_ref, m_ref, l_ref,
+                               acc_ref, *, chunk, nchunks, heads,
+                               mix=False, G=None):
     """Self-folding decode that ALSO appends the new token in the SAME
     kernel (the contiguous twin of paged_kv._paged_kernel_self_append):
     the finalize step's clamped-chunk DMA already holds the sequence chunk
@@ -485,8 +634,10 @@ def _decode_kernel_self_append(idx_ref, q_ref, kq_ref, kp_ref, vq_ref,
 
     @pl.when(pl.program_id(1) == nchunks - 1)
     def _():
-        _self_fold_finalize(q_ref, ks_ref, vs_ref, out_ref, m_ref, l_ref,
-                            acc_ref)
+        _self_fold_finalize(q_ref[0].astype(jnp.float32),
+                            ks_ref[0].astype(jnp.float32),
+                            vs_ref[0].astype(jnp.float32),
+                            out_ref, m_ref, l_ref, acc_ref, mix, G)
 
         def wr(o_ref, c_ref, n_ref):
             h, x = n_ref.shape[1], n_ref.shape[2]
@@ -500,11 +651,13 @@ def _decode_kernel_self_append(idx_ref, q_ref, kq_ref, kp_ref, vq_ref,
         wr(ovp_ref, vp_ref, nvp_ref)
 
 
-@functools.partial(jax.jit, static_argnames=("sm_scale", "chunk", "interpret"))
+@functools.partial(jax.jit, static_argnames=("sm_scale", "chunk",
+                                             "mix_heads", "interpret"))
 def int4_decode_attention_self_append(q, kq_all, kp_all, vq_all, vp_all,
                                       layer, lengths, k_self, v_self,
                                       nkq, nkp, nvq, nvp, *, sm_scale=None,
                                       chunk: int = 512,
+                                      mix_heads: bool = False,
                                       interpret: bool | None = None):
     """Fused self-folding contiguous decode + in-place cache append.
 
@@ -550,19 +703,23 @@ def int4_decode_attention_self_append(q, kq_all, kp_all, vq_all, vp_all,
         return jnp.broadcast_to(v.astype(dt), (*v.shape[:-1], 128))
 
     grid = (B, nchunks)
+    in_specs = [
+        pl.BlockSpec((1, Hkv, Gp, D), lambda b, s, idx: (b, 0, 0, 0)),
+        cspec(D2), cspec(2), cspec(D2), cspec(2),
+        pl.BlockSpec((1, Hkv, D), lambda b, s, idx: (b, 0, 0)),
+        pl.BlockSpec((1, Hkv, D), lambda b, s, idx: (b, 0, 0)),
+        nblk(D2), nblk(2), nblk(D2), nblk(2),
+    ]
+    if mix_heads:
+        from rsq_tpu.core.hadamard import is_pow2
+        assert is_pow2(Hq), "fused head mix needs a pow2 head count"
     out, kq2, kp2, vq2, vp2 = pl.pallas_call(
         functools.partial(_decode_kernel_self_append, chunk=ch,
-                          nchunks=nchunks, heads=Hkv),
+                          nchunks=nchunks, heads=Hkv, mix=mix_heads, G=G),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
-            in_specs=[
-                pl.BlockSpec((1, Hkv, Gp, D), lambda b, s, idx: (b, 0, 0, 0)),
-                cspec(D2), cspec(2), cspec(D2), cspec(2),
-                pl.BlockSpec((1, Hkv, D), lambda b, s, idx: (b, 0, 0)),
-                pl.BlockSpec((1, Hkv, D), lambda b, s, idx: (b, 0, 0)),
-                nblk(D2), nblk(2), nblk(D2), nblk(2),
-            ],
+            in_specs=in_specs,
             out_specs=[
                 pl.BlockSpec((1, Hkv, Gp, D), lambda b, s, idx: (b, 0, 0, 0)),
                 wspec(D2), wspec(2), wspec(D2), wspec(2),

@@ -117,7 +117,7 @@ def _group_copies(idx_ref, ptab_ref, kq_hbm, kp_hbm, vq_hbm, vp_hbm,
     return out
 
 
-def _paged_dma_attend(idx_ref, ptab_ref, bidx_ref, init_ref, q_ref,
+def _paged_dma_attend(idx_ref, ptab_ref, bidx_ref, init_ref, q_all,
                       kq_hbm, kp_hbm, vq_hbm, vp_hbm, kbuf, kpbuf, vbuf,
                       vpbuf, sems, m_ref, l_ref, acc_ref, *, page, gp,
                       npg, B, heads):
@@ -174,7 +174,7 @@ def _paged_dma_attend(idx_ref, ptab_ref, bidx_ref, init_ref, q_ref,
         H = heads
         D2 = kbuf.shape[2]
         ch = gp * page
-        _attend_tile(q_ref, kbuf[slot].reshape(H * D2, ch), kpbuf[slot],
+        _attend_tile(q_all(), kbuf[slot].reshape(H * D2, ch), kpbuf[slot],
                      vbuf[slot].reshape(H * D2, ch), vpbuf[slot],
                      i * bk, length, m_ref, l_ref, acc_ref, heads=H)
 
@@ -197,7 +197,8 @@ def _paged_kernel_fast(idx_ref, ptab_ref, bidx_ref, init_ref, q_ref,
                        kq_hbm, kp_hbm, vq_hbm, vp_hbm, out_ref, kbuf,
                        kpbuf, vbuf, vpbuf, sems, m_ref, l_ref, acc_ref,
                        *, page, gp, npg, B, heads):
-    _paged_dma_attend(idx_ref, ptab_ref, bidx_ref, init_ref, q_ref,
+    _paged_dma_attend(idx_ref, ptab_ref, bidx_ref, init_ref,
+                      lambda: q_ref[0].astype(jnp.float32),
                       kq_hbm, kp_hbm, vq_hbm, vp_hbm, kbuf, kpbuf, vbuf,
                       vpbuf, sems, m_ref, l_ref, acc_ref, page=page,
                       gp=gp, npg=npg, B=B, heads=heads)
@@ -217,15 +218,18 @@ def _paged_kernel_fast_self(idx_ref, ptab_ref, bidx_ref, init_ref, q_ref,
     token's dequantized (k_self, v_self) joins as one more online-softmax
     step in the finalize, so the kernel only ever READS the pool and the
     caller's append can stay in place."""
-    _paged_dma_attend(idx_ref, ptab_ref, bidx_ref, init_ref, q_ref,
+    _paged_dma_attend(idx_ref, ptab_ref, bidx_ref, init_ref,
+                      lambda: q_ref[0].astype(jnp.float32),
                       kq_hbm, kp_hbm, vq_hbm, vp_hbm, kbuf, kpbuf, vbuf,
                       vpbuf, sems, m_ref, l_ref, acc_ref, page=page,
                       gp=gp, npg=npg, B=B, heads=heads)
 
     @pl.when(_fin_cond(idx_ref, bk=gp * page, npg=npg))
     def _():
-        _self_fold_finalize(q_ref, ks_ref, vs_ref, out_ref, m_ref, l_ref,
-                            acc_ref)
+        _self_fold_finalize(q_ref[0].astype(jnp.float32),
+                            ks_ref[0].astype(jnp.float32),
+                            vs_ref[0].astype(jnp.float32),
+                            out_ref, m_ref, l_ref, acc_ref)
 
 
 def _paged_scratch(Hkv, D, ch, Gp, kp_dtype):
@@ -382,10 +386,8 @@ def int4_paged_decode_attention_reference(q, kq, kp, vq, vp, page_table,
 def _paged_kernel_self_append(idx_ref, ptab_ref, bidx_ref, init_ref,
                               q_ref, kq_hbm, kp_hbm, vq_hbm, vp_hbm,
                               ks_ref, vs_ref, nkq_ref, nkp_ref, nvq_ref,
-                              nvp_ref, out_ref, okq_ref, okp_ref, ovq_ref,
-                              ovp_ref, kbuf, kpbuf, vbuf, vpbuf, sems,
-                              wkq, wkp, wvq, wvp, wsems, m_ref, l_ref,
-                              acc_ref, *, page, gp, npg, B, heads):
+                              nvp_ref, *rest, page, gp, npg, B, heads,
+                              mix=False, G=None):
     """Self-folding paged decode that ALSO appends the new token, in ONE
     kernel.  The WRITE page (ptab[b, lengths[b] // page], possibly
     partially filled) is staged into dedicated VMEM scratch by an async
@@ -403,6 +405,9 @@ def _paged_kernel_self_append(idx_ref, ptab_ref, bidx_ref, init_ref,
     nk*/nv* are the new token's lane-major quantized values broadcast to
     128 lanes; out*_ref are full-page blocks at the WRITE page, flushed
     once per batch row."""
+    (out_ref, okq_ref, okp_ref, ovq_ref, ovp_ref, kbuf, kpbuf, vbuf,
+     vpbuf, sems, wkq, wkp, wvq, wvp, wsems, m_ref, l_ref,
+     acc_ref) = rest
     b, i = pl.program_id(0), pl.program_id(1)
     length = idx_ref[1 + b]
     layer = idx_ref[0]
@@ -422,15 +427,18 @@ def _paged_kernel_self_append(idx_ref, ptab_ref, bidx_ref, init_ref,
         for c in wcopies():
             c.start()
 
-    _paged_dma_attend(idx_ref, ptab_ref, bidx_ref, init_ref, q_ref,
+    _paged_dma_attend(idx_ref, ptab_ref, bidx_ref, init_ref,
+                      lambda: q_ref[0].astype(jnp.float32),
                       kq_hbm, kp_hbm, vq_hbm, vp_hbm, kbuf, kpbuf, vbuf,
                       vpbuf, sems, m_ref, l_ref, acc_ref, page=page,
                       gp=gp, npg=npg, B=B, heads=heads)
 
     @pl.when(_fin_cond(idx_ref, bk=gp * page, npg=npg))
     def _():
-        _self_fold_finalize(q_ref, ks_ref, vs_ref, out_ref, m_ref, l_ref,
-                            acc_ref)
+        _self_fold_finalize(q_ref[0].astype(jnp.float32),
+                            ks_ref[0].astype(jnp.float32),
+                            vs_ref[0].astype(jnp.float32),
+                            out_ref, m_ref, l_ref, acc_ref, mix, G)
         for c in wcopies():
             c.wait()
         col = length % 128  # within the staged 128-lane window
@@ -447,12 +455,14 @@ def _paged_kernel_self_append(idx_ref, ptab_ref, bidx_ref, init_ref,
         wr(ovp_ref, wvp, nvp_ref)
 
 
-@functools.partial(jax.jit, static_argnames=("sm_scale", "interpret"))
+@functools.partial(jax.jit, static_argnames=("sm_scale", "mix_heads",
+                                             "interpret"))
 def int4_paged_decode_attention_self_append(q, kq_all, kp_all, vq_all,
                                             vp_all, layer, page_table,
                                             lengths, k_self, v_self,
                                             nkq, nkp, nvq, nvp, *,
                                             sm_scale=None,
+                                            mix_heads: bool = False,
                                             interpret: bool | None = None):
     """Fused self-folding paged decode + in-place pool append.
 
@@ -497,6 +507,9 @@ def int4_paged_decode_attention_self_append(q, kq_all, kp_all, vq_all,
 
     in_specs = ([qspec] + [pl.BlockSpec(memory_space=pl.ANY)] * 4
                 + [sspec, sspec, nblk(D2), nblk(2), nblk(D2), nblk(2)])
+    if mix_heads:
+        from rsq_tpu.core.hadamard import is_pow2
+        assert is_pow2(Hq), "fused head mix needs a pow2 head count"
     scratch = _paged_scratch(Hkv, D, gp * page, Gp, kp_all.dtype)
     # write-page staging buffers + their semaphores slot in BEFORE the
     # m/l/acc accumulators (kernel signature order)
@@ -512,7 +525,7 @@ def int4_paged_decode_attention_self_append(q, kq_all, kp_all, vq_all,
     # bidx=2, init=3, q=4, pools kq/kp/vq/vp = 5..8 -> outputs 1..4
     out, kq2, kp2, vq2, vp2 = pl.pallas_call(
         functools.partial(_paged_kernel_self_append, page=page, gp=gp,
-                          npg=npg, B=B, heads=Hkv),
+                          npg=npg, B=B, heads=Hkv, mix=mix_heads, G=G),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=4,
             grid=(B, npg),
@@ -605,6 +618,10 @@ def paged_append_pool(kq, kp, vq, vp, layer, page_table, positions,
         return pl.BlockSpec((1, H, x, w), lambda b, idx, ptab: (b, 0, 0, 0))
 
     def bcast(v, dt):
+        # accept both (..., 1) values and decode_prep's pre-broadcast
+        # (..., 128) layout (every lane holds the same value)
+        if v.shape[-1] >= w:
+            return v[..., :w].astype(dt)
         return jnp.broadcast_to(v.astype(dt), (*v.shape[:-1], w))
 
     return pl.pallas_call(

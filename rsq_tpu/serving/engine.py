@@ -50,7 +50,7 @@ def bucket_length(s: int, lo: int = 16) -> int:
     return b
 
 
-@partial(jax.jit, static_argnames=("sc",))
+@partial(jax.jit, static_argnames=("sc",), donate_argnums=(1,))
 def prefill_into_slot(params, cache, input_ids, sc: ServingConfig, slot,
                       true_len=None):
     """Prefill ONE sequence into cache slot `slot`, leaving other slots

@@ -509,7 +509,7 @@ def prefill_stacked(params, cache, input_ids, sc: ServingConfig):
     return logits, cache
 
 
-@partial(jax.jit, static_argnames=("sc",))
+@partial(jax.jit, static_argnames=("sc",), donate_argnums=(1,))
 def decode_step_stacked(params, cache, token_ids, sc: ServingConfig):
     """One-compiled-body decode step over stacked layers; sequences may have
     unequal lengths.  Both INT4- and bf16-cache models take the copy-free
@@ -714,40 +714,40 @@ def _decode_step_fast(params, cache, token_ids, sc: ServingConfig,
             q = _linear_fast(h2d, ls["q"], i, sc)
             k = _linear_fast(h2d, ls["k"], i, sc)
             v = _linear_fast(h2d, ls["v"], i, sc)
-        # ONE rope over [q;k], ONE hadamard over [q;k], ONE quant/pack +
-        # dequant + relayout over [k;v] — the fori_loop body's small-op
-        # count is the measured ~1 ms/step layer-loop residue (r3 trace)
-        qk = M.apply_rope(
-            jnp.concatenate([q.reshape(b, 1, nq, hd),
-                             k.reshape(b, 1, nkv, hd)], axis=2), cos, sin)
-        vb = jnp.swapaxes(v.reshape(b, 1, nkv, hd), 1, 2)  # (B, H, 1, D)
         # attend over the OLD cache (kernel only READS it) and fold the new
         # token in analytically: XLA can then apply the appends below in
         # place — a scatter racing a custom-call consumer copies the whole
         # cache per layer (~300 MB, 76 ms of a 90 ms step, measured)
+        # fused head-mix measured SLOWER than the outer mixer (in-kernel
+        # transposes dominate at decode shapes, r5); capability kept in
+        # the kernel, off by default
+        mixed_in_kernel = False
         if kv4:
-            if sc.kv_hadamard:
-                qk = hadamard_transform_last(qk)
-            qh = qk[:, 0, :nq]                    # rotated q (B, nq, D)
-            kb = jnp.swapaxes(qk[:, :, nq:], 1, 2)
-            kvq_t, kvp_t = KVK.asym_quant_pack_head(
-                jnp.concatenate([kb, vb], axis=1))
-            # self-attention term of the token being appended folds in-kernel
-            # (one more online-softmax step) and the APPEND fuses into the
-            # same kernel's finalize (aliased chunk output blocks) — one
-            # Pallas dispatch per layer per step, cache never scattered.
-            # k/v_self are the DEQUANTIZED values so the math matches what
-            # the cache will hold for later steps.
-            kv_self = KVK.unpack_dequant_head(kvq_t, kvp_t)[:, :, 0]
-            k_self, v_self = kv_self[:, :nkv], kv_self[:, nkv:]
-            kvq_, kvp_ = KVK.to_lane_major(kvq_t, kvp_t)
+            # ONE fused Pallas prep call per layer (rope + per-head
+            # hadamard + KV quant-pack + self dequant,
+            # kernels/kv_cache.decode_prep): the fori_loop body's small-op
+            # count WAS the measured ~0.8 ms/step layer-loop residue
+            # (traces r3/r5).  Then ONE attention+append dispatch: the
+            # self term folds in-kernel (one more online-softmax step) and
+            # the append fuses into the finalize (aliased chunk output
+            # blocks) — the cache is never scattered.  k/v_self are the
+            # DEQUANTIZED values so the math matches what the cache will
+            # hold for later steps.
+            (qh, k_self, v_self, nkq, nkp, nvq, nvp) = KVK.decode_prep(
+                q.reshape(b, nq, hd), k.reshape(b, nkv, hd),
+                v.reshape(b, nkv, hd), cos[:, 0], sin[:, 0],
+                kv_had=sc.kv_hadamard)
             (attn, cache["kq"], cache["kp"], cache["vq"], cache["vp"]) = \
                 KVK.int4_decode_attention_self_append(
                     qh, cache["kq"], cache["kp"], cache["vq"], cache["vp"],
-                    i, length, k_self, v_self,
-                    kvq_[:, :nkv], kvp_[:, :nkv],
-                    kvq_[:, nkv:], kvp_[:, nkv:])
+                    i, length, k_self, v_self, nkq, nkp, nvq, nvp,
+                    mix_heads=mixed_in_kernel)
         else:
+            qk = M.apply_rope(
+                jnp.concatenate([q.reshape(b, 1, nq, hd),
+                                 k.reshape(b, 1, nkv, hd)], axis=2),
+                cos, sin)
+            vb = jnp.swapaxes(v.reshape(b, 1, nkv, hd), 1, 2)
             # NO hadamard on the bf16-cache path: the rotation exists to
             # flatten outliers before INT4 quantization; _prefill_fast's
             # bf16 branch caches unrotated k, so rotating here would mix
@@ -772,7 +772,7 @@ def _decode_step_fast(params, cache, token_ids, sc: ServingConfig,
             cache["k"], cache["v"] = KVK.kv_append_stacked_bf16(
                 cache["k"], cache["v"], i, pos, kb, vb)
         attn = attn.reshape(b, 1, nq * hd)
-        if sc.online_had:
+        if sc.online_had and not (kv4 and mixed_in_kernel):
             attn = mix_heads(attn)
         o = _linear_fast(attn.reshape(b, -1), ls["o"], i, sc,
                          tp_axis=tp_axis, row=True)

@@ -309,7 +309,8 @@ def _prefill_paged_local(params, pool, page_row, input_tail,
     return logits, pool
 
 
-@partial(jax.jit, static_argnames=("sc", "prefix_pages", "prefix_len"))
+@partial(jax.jit, static_argnames=("sc", "prefix_pages", "prefix_len"),
+         donate_argnums=(1,))
 def prefill_paged_fast(params, pool, page_row, input_tail, sc: ServingConfig,
                        prefix_pages: int, prefix_len: int, prompt_len=None):
     """Single-device jitted wrapper of the fast paged prefill.  Returns
@@ -351,42 +352,44 @@ def _decode_paged_local(params, pool, page_tables, lengths, token_ids,
             q = _linear_fast(h2d, ls["q"], i, sc)
             k = _linear_fast(h2d, ls["k"], i, sc)
             v = _linear_fast(h2d, ls["v"], i, sc)
-        # ONE rope over [q;k] heads, ONE hadamard over [q;k], ONE
-        # quant/pack + dequant + relayout over [k;v]: the fori_loop body's
-        # small-op count IS the measured ~1 ms/step "layer-loop residue"
-        # (r3 trace), so per-token prep ops are batched across tensors
-        qk = M.apply_rope(
-            jnp.concatenate([q.reshape(b, 1, nq, hd),
-                             k.reshape(b, 1, nkv, hd)], axis=2), cos, sin)
-        vb = jnp.swapaxes(v.reshape(b, 1, nkv, hd), 1, 2)  # (B, H, 1, D)
-        if sc.kv_hadamard:
-            qk = hadamard_transform_last(qk)
-        qh = qk[:, 0, :nq]                        # rotated q (B, nq, D)
-        kb = jnp.swapaxes(qk[:, :, nq:], 1, 2)    # rotated K (B, H, 1, D)
-        kvq_t, kvp_t = PKV.asym_quant_pack_head(
-            jnp.concatenate([kb, vb], axis=1))    # (B, 2H, 1, ...)
-        kv_self = PKV.unpack_dequant_head(kvq_t, kvp_t)[:, :, 0]
-        k_self, v_self = kv_self[:, :nkv], kv_self[:, nkv:]
-        kvq_, kvp_ = PKV.to_lane_major(kvq_t, kvp_t)
-        kq_, vq_ = kvq_[:, :nkv], kvq_[:, nkv:]
-        kp_, vp_ = kvp_[:, :nkv], kvp_[:, nkv:]
         pool = dict(pool)
+        # single-chip: the o_proj head-mixing Hadamard fuses into the
+        # attention finalize; under TP the mix spans ALL heads, so the
+        # distributed mixer runs outside
+        # fused head-mix (butterfly in the attention finalize) measured
+        # SLOWER than the outer mixer (7.61 vs 7.37 ms/step r5 — the
+        # in-kernel transposes dominate); keep the kernel capability but
+        # run the XLA mixer
+        mixed_in_kernel = False
         if fused_append:
-            # ONE kernel per layer: attention (pool read-only, self term
-            # folded analytically) + in-place page append of the new token
-            # via aliased full-page output blocks — no separate append
-            # dispatch.  Contract: page >= 128, 128-multiple (lane-aligned
-            # full-page output blocks).
+            # ONE fused Pallas prep call per layer (rope + per-head
+            # hadamard + KV quant-pack + self dequant,
+            # kernels/kv_cache.decode_prep), then ONE attention+append
+            # dispatch with the head-mixing Hadamard fused into its
+            # finalize.  (A fully merged prep-in-attention kernel was
+            # tried and measured SLOWER, 7.57 vs 7.37 ms/step r5: the
+            # per-row in-kernel butterflies+transposes cost more than the
+            # dispatch they saved.)  Contract: page >= 128, 128-multiple.
+            from rsq_tpu.kernels.kv_cache import decode_prep
+            (qh, k_self, v_self, kq_, kp_, vq_, vp_) = decode_prep(
+                q.reshape(b, nq, hd), k.reshape(b, nkv, hd),
+                v.reshape(b, nkv, hd), cos[:, 0], sin[:, 0],
+                kv_had=sc.kv_hadamard)
             (attn, pool["kq"], pool["kp"], pool["vq"], pool["vp"]) = \
                 PKV.int4_paged_decode_attention_self_append(
                     qh, pool["kq"], pool["kp"], pool["vq"], pool["vp"], i,
                     page_tables, lengths, k_self, v_self, kq_, kp_, vq_,
-                    vp_)
+                    vp_, mix_heads=mixed_in_kernel)
         else:
             # sub-128 pages (tests / tiny configs) violate the fused
-            # kernel's full-page aliased-output contract (ADVICE r4 #4):
-            # fall back to the separate sub-128-window append, then attend
-            # over the pool including the new token
+            # kernel's window aliased-output contract (ADVICE r4 #4):
+            # prep separately, append via the sub-128-window kernel, then
+            # attend over the pool including the new token
+            from rsq_tpu.kernels.kv_cache import decode_prep
+            (qh, k_self, v_self, kq_, kp_, vq_, vp_) = decode_prep(
+                q.reshape(b, nq, hd), k.reshape(b, nkv, hd),
+                v.reshape(b, nkv, hd), cos[:, 0], sin[:, 0],
+                kv_had=sc.kv_hadamard)
             (pool["kq"], pool["kp"], pool["vq"], pool["vp"]) = \
                 PKV.paged_append_pool(
                     pool["kq"], pool["kp"], pool["vq"], pool["vp"], i,
@@ -396,7 +399,7 @@ def _decode_paged_local(params, pool, page_tables, lengths, token_ids,
                 pool["vp"][i], page_tables, lengths + 1)
 
         attn = attn.reshape(b, 1, nq * hd)
-        if sc.online_had:
+        if sc.online_had and not mixed_in_kernel:
             attn = mix_heads(attn)
         o = _linear_fast(attn.reshape(b, -1), ls["o"], i, sc,
                          tp_axis=tp_axis, row=True)
@@ -425,7 +428,7 @@ def _decode_paged_local(params, pool, page_tables, lengths, token_ids,
     return logits, pool
 
 
-@partial(jax.jit, static_argnames=("sc",))
+@partial(jax.jit, static_argnames=("sc",), donate_argnums=(1,))
 def decode_step_paged_fast(params, pool, page_tables, lengths, token_ids,
                            sc: ServingConfig):
     """Single-device jitted wrapper of the fast paged decode step."""

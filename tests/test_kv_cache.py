@@ -317,3 +317,95 @@ def test_contiguous_fused_self_append_matches_separate():
                     lo = (pos // ch) * ch
                     np.testing.assert_array_equal(
                         g[i, b, :, :, lo:pos], w[i, b, :, :, lo:pos])
+
+
+def test_decode_prep_matches_reference_chain():
+    """The fused prep kernel (rope + per-head hadamard + KV quant-pack +
+    self dequant in one Pallas call) must match the op-by-op reference
+    chain it replaced (trace r5: that chain was most of the ~0.8 ms/step
+    decode residue)."""
+    import numpy as np
+    from rsq_tpu.core.hadamard import hadamard_transform_last
+    from rsq_tpu.models import llama as M
+    from rsq_tpu.models.config import ModelConfig
+
+    B, Hq, Hkv, D = 2, 8, 2, 128
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.standard_normal((B, Hq, D)), jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((B, Hkv, D)), jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((B, Hkv, D)), jnp.bfloat16)
+    cfg = ModelConfig.llama3_8b()  # head_dim 128 matches D
+    pos = jnp.asarray([3, 7], jnp.int32)
+    cos, sin = M.rope_tables(cfg, pos)  # (B, D)
+
+    qh, ks, vs, nkq, nkp, nvq, nvp = KV.decode_prep(
+        q, k, v, cos, sin, kv_had=True)
+
+    # reference chain (the pre-r5 decode body)
+    qr = M.apply_rope(q[:, None], cos[:, None], sin[:, None])[:, 0]
+    kr = M.apply_rope(k[:, None], cos[:, None], sin[:, None])[:, 0]
+    qr = hadamard_transform_last(qr)
+    kr = hadamard_transform_last(kr)
+    kq_t, kp_t = KV.asym_quant_pack_head(kr)
+    vq_t, vp_t = KV.asym_quant_pack_head(v)
+    k_self = KV.unpack_dequant_head(kq_t, kp_t)
+    v_self = KV.unpack_dequant_head(vq_t, vp_t)
+
+    np.testing.assert_allclose(np.asarray(qh, np.float32),
+                               np.asarray(qr, np.float32),
+                               rtol=2e-2, atol=2e-2)
+    # dequantized self values: the dense-MXU hadamard differs from the
+    # butterfly by sub-ulp f32 summation order, which can flip a code
+    # sitting exactly on a rounding boundary — every element must agree
+    # within ONE quantization step of its head's scale
+    kscale = np.asarray(nkp[..., 0:1, 0])         # (B, Hkv, 1)
+    dk = np.abs(np.asarray(ks) - np.asarray(k_self))
+    assert (dk <= 1.01 * kscale + 1e-6).all(), dk.max()
+    np.testing.assert_allclose(np.asarray(vs), np.asarray(v_self),
+                               rtol=0.05, atol=0.05)
+    # v is untouched by rope/hadamard -> codes must match EXACTLY
+    np.testing.assert_array_equal(np.asarray(nvq[..., 0]),
+                                  np.asarray(vq_t))
+    np.testing.assert_allclose(np.asarray(nvp[..., 0]), np.asarray(vp_t),
+                               rtol=1e-6, atol=1e-6)
+    # every lane of the broadcast outputs carries the same value
+    np.testing.assert_array_equal(np.asarray(nkq[..., 0]),
+                                  np.asarray(nkq[..., 127]))
+    # round-trip: dequantizing the packed outputs reproduces ks/vs exactly
+    deq = KV.unpack_dequant_head(nkq[..., 0], nkp[..., 0])
+    np.testing.assert_allclose(np.asarray(deq), np.asarray(ks),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_fused_head_mix_matches_outer_mixer():
+    """mix_heads=True folds the o_proj head-mixing Hadamard into the
+    attention finalize as the EXACT butterfly DAG of
+    head_mixing_hadamard — the two must agree to bf16 rounding.  (The
+    fused mix is currently off in the serving callers — measured slower
+    on v5e, the in-kernel transposes dominate at decode shapes — but the
+    capability stays correct.)"""
+    import numpy as np
+    from rsq_tpu.core.hadamard import head_mixing_hadamard
+
+    B, Hq, Hkv, D, S = 2, 4, 2, 16, 64
+    rng = np.random.default_rng(0)
+    kq = jnp.asarray(rng.integers(0, 255, (1, B, Hkv, D // 2, S)),
+                     jnp.uint8)
+    kp = jnp.asarray(rng.uniform(0.01, 0.1, (1, B, Hkv, 2, S)),
+                     jnp.float32)
+    q = jnp.asarray(rng.standard_normal((B, Hq, D)), jnp.bfloat16)
+    ks = jnp.asarray(rng.standard_normal((B, Hkv, D)), jnp.float32)
+    nkq = jnp.zeros((B, Hkv, D // 2, 1), jnp.uint8)
+    nkp = jnp.ones((B, Hkv, 2, 1), jnp.float32)
+    lengths = jnp.asarray([30, 50], jnp.int32)
+
+    out0, *_ = KV.int4_decode_attention_self_append(
+        q, kq, kp, kq, kp, 0, lengths, ks, ks, nkq, nkp, nkq, nkp,
+        mix_heads=False, interpret=True)
+    ref = head_mixing_hadamard(out0.reshape(B, Hq * D), head_dim=D)
+    out1, *_ = KV.int4_decode_attention_self_append(
+        q, kq, kp, kq, kp, 0, lengths, ks, ks, nkq, nkp, nkq, nkp,
+        mix_heads=True, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out1.reshape(B, Hq * D), np.float32),
+        np.asarray(ref, np.float32), rtol=1e-2, atol=1e-2)
