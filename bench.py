@@ -159,17 +159,19 @@ def measure_decode(params, sc, batch, n1=8, n2=32, repeats=3):
     # warm the single compile
     np.asarray(run(params, tok0, n1))
     np.asarray(run(params, tok0, n2))
-    best = None
-    for _ in range(repeats):
+    dts = []
+    for _ in range(max(repeats, 1)):
         t0 = time.perf_counter()
         np.asarray(run(params, tok0, n1))
         t1 = time.perf_counter() - t0
         t0 = time.perf_counter()
         np.asarray(run(params, tok0, n2))
         t2 = time.perf_counter() - t0
-        dt = (t2 - t1) / (n2 - n1)
-        best = dt if best is None else min(best, dt)
-    return best
+        dts.append((t2 - t1) / (n2 - n1))
+    # MEDIAN, not min: the differenced estimate is biased LOW when the
+    # short chain's timing catches a stray tunnel pause (bimodal 5.6 vs
+    # 7.4 ms observed r5) — min() selects exactly those glitches
+    return float(np.median(dts))
 
 
 def measure_decode_paged(params, sc, batch, page=512, n1=8, n2=32,
@@ -209,17 +211,16 @@ def measure_decode_paged(params, sc, batch, page=512, n1=8, n2=32,
     tok0 = jnp.zeros((batch,), jnp.int32)
     np.asarray(run(params, tok0, n1))
     np.asarray(run(params, tok0, n2))
-    best = None
-    for _ in range(repeats):
+    dts = []
+    for _ in range(max(repeats, 1)):
         t0 = time.perf_counter()
         np.asarray(run(params, tok0, n1))
         t1 = time.perf_counter() - t0
         t0 = time.perf_counter()
         np.asarray(run(params, tok0, n2))
         t2 = time.perf_counter() - t0
-        dt = (t2 - t1) / (n2 - n1)
-        best = dt if best is None else min(best, dt)
-    return best
+        dts.append((t2 - t1) / (n2 - n1))
+    return float(np.median(dts))  # median, not min: see measure_decode
 
 
 def _log(msg):
