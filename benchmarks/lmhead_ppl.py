@@ -36,6 +36,7 @@ def main():
     ap.add_argument("--layers", type=int, default=4)
     ap.add_argument("--seqs", type=int, default=64)
     ap.add_argument("--seqlen", type=int, default=2048)
+    ap.add_argument("--bits", type=int, default=8, choices=(8, 4))
     args = ap.parse_args()
 
     import jax
@@ -50,7 +51,7 @@ def main():
     cfg = dataclasses.replace(ModelConfig.llama3_8b(),
                               num_layers=args.layers)
     params = BB.build_int4_params(cfg)
-    params_q = quantize_lm_head(params)
+    params_q = quantize_lm_head(params, bits=args.bits)
     d, V = cfg.hidden_size, cfg.vocab_size
 
     # hidden states: run the serving layers over synthetic prompts so h has
@@ -100,8 +101,10 @@ def main():
     stacked = params  # build_int4_params already returns stacked layout
     stacked_q = dict(stacked)
     stacked_q.pop("lm_head")
-    stacked_q["lm_head_q"] = params_q["lm_head_q"]
-    stacked_q["lm_head_scale"] = params_q["lm_head_scale"]
+    for key in ("lm_head_q", "lm_head_scale", "lm_head_wp",
+                "lm_head_scale4"):
+        if key in params_q:
+            stacked_q[key] = params_q[key]
 
     nll_bf16, nll_int8, n = 0.0, 0.0, 0
     for s0 in range(0, args.seqs, 8):
@@ -115,10 +118,10 @@ def main():
     ppl_bf16 = float(np.exp(nll_bf16 / n))
     ppl_int8 = float(np.exp(nll_int8 / n))
     print(json.dumps({
-        "metric": "lmhead_int8_ppl_delta",
+        "metric": f"lmhead_int{args.bits}_ppl_delta",
         "dims": [d, V], "positions": n,
         "ppl_bf16_head": round(ppl_bf16, 6),
-        "ppl_int8_head": round(ppl_int8, 6),
+        "ppl_quant_head": round(ppl_int8, 6),
         "delta_pct": round(100 * (ppl_int8 - ppl_bf16) / ppl_bf16, 4),
     }))
 

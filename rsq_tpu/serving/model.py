@@ -161,21 +161,40 @@ def lm_head_logits(params, x):
         from rsq_tpu.kernels.matmul_w4 import w8_matmul
         y = w8_matmul(x2.astype(jnp.bfloat16), params["lm_head_q"],
                       params["lm_head_scale"])
+    elif "lm_head_wp" in params:
+        from rsq_tpu.kernels.matmul_w4 import w4_matmul
+        y = w4_matmul(x2.astype(jnp.bfloat16), params["lm_head_wp"],
+                      params["lm_head_scale4"])
     else:
         y = x2 @ params["lm_head"].astype(x2.dtype)
     return y.reshape(*lead, y.shape[-1])
 
 
-def quantize_lm_head(params):
-    """Opt-in per-channel symmetric int8 lm_head (replaces "lm_head" with
-    "lm_head_q"/"lm_head_scale"; serving forwards dispatch on the keys).
+def quantize_lm_head(params, bits: int = 8):
+    """Per-channel symmetric int8 (default) or int4 lm_head (replaces
+    "lm_head" with quantized keys; serving forwards dispatch on them).
     The reference keeps lm_head fp16 (gptq_utils.py:547-565 skips it);
-    this is an extra knob whose PPL impact is test-gated to be tiny."""
-    from rsq_tpu.kernels.matmul_w4 import w8_quantize
+    the int8 head's measured PPL cost at the real (4096, 128256) shape is
+    +0.006% and the int4 head's is recorded by benchmarks/lmhead_ppl.py
+    --bits 4 — int8 is the bench default, int4 opt-in."""
     out = dict(params)
-    w8, scale = w8_quantize(out.pop("lm_head"))
-    out["lm_head_q"] = w8
-    out["lm_head_scale"] = scale
+    W = out.pop("lm_head")
+    if bits == 8:
+        from rsq_tpu.kernels.matmul_w4 import w8_quantize
+        w8, scale = w8_quantize(W)
+        out["lm_head_q"] = w8
+        out["lm_head_scale"] = scale
+    elif bits == 4:
+        from rsq_tpu.kernels.matmul_w4 import pack_w4_planar
+        Wf = W.astype(jnp.float32)
+        absmax = jnp.max(jnp.abs(Wf), axis=0)
+        scale = jnp.where(absmax == 0, 1.0, absmax / 7.0)
+        codes = jnp.clip(jnp.round(Wf / scale[None, :]), -8, 7
+                         ).astype(jnp.int8)
+        out["lm_head_wp"] = pack_w4_planar(codes)
+        out["lm_head_scale4"] = scale.astype(jnp.float32)
+    else:
+        raise ValueError(f"lm_head bits must be 8 or 4, got {bits}")
     return out
 
 

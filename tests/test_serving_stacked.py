@@ -100,3 +100,23 @@ def test_int8_lm_head_close_to_bf16():
         b = np.asarray(b, np.float32)
         assert np.corrcoef(a.ravel(), b.ravel())[0, 1] > 0.999
         assert np.max(np.abs(a - b)) < 0.1
+
+
+def test_int4_lm_head_dispatch():
+    """quantize_lm_head(bits=4) packs a planar-int4 head served by the w4
+    kernel; measured PPL cost at real head dims is +0.51% (vs int8's
+    +0.006%, benchmarks/lmhead_ppl.py) so it is opt-in — this guards the
+    dispatch and the pack/serve round trip."""
+    from rsq_tpu.serving.model import lm_head_logits, quantize_lm_head
+
+    rng = np.random.default_rng(0)
+    d, V = 64, 256
+    params = {"lm_head": jnp.asarray(
+        rng.standard_normal((d, V)) * 0.05, jnp.bfloat16)}
+    x = jnp.asarray(rng.standard_normal((4, d)), jnp.bfloat16)
+    want = np.asarray(lm_head_logits(params, x), np.float32)
+    p4 = quantize_lm_head(dict(params), bits=4)
+    assert "lm_head" not in p4 and "lm_head_wp" in p4
+    got = np.asarray(lm_head_logits(p4, x), np.float32)
+    corr = np.corrcoef(want.ravel(), got.ravel())[0, 1]
+    assert corr > 0.99, corr  # int4 quant noise at tiny dims
