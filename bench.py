@@ -261,8 +261,16 @@ def main():
     batch = 8
     max_seq = 1024
 
+    # int8-MXU QK in decode attention is part of the headline config since
+    # r5 (RSQ_ATTN_INT8_QK=0 for the bf16-QK path): q's int8 round-trip is
+    # the same error order as the bf16 cast the default path performs on q
+    # (tile corr 0.99995; decode-trajectory NLL delta -0.2% = noise at 8B
+    # dims, benchmarks/attn_int8_ppl.py, with a 1e-6 control showing the
+    # random-init argmax metric is chaos-saturated), for ~0.1-0.7 ms/step.
+    attn_i8 = os.environ.get("RSQ_ATTN_INT8_QK", "1") != "0"
     sc32 = S.ServingConfig(model=cfg32, a4=True, kv_int4=True,
-                           kv_hadamard=True, online_had=True, max_seq=max_seq)
+                           kv_hadamard=True, online_had=True,
+                           max_seq=max_seq, attn_int8_qk=attn_i8)
 
     # INT4 headline number FIRST; every later stage only refines
     # vs_baseline and must never cost us the value (round-1 bench OOM'd in
@@ -295,6 +303,7 @@ def main():
         "vs_baseline": None,
         "detail": {"batch": batch, "max_seq": max_seq, "path": "paged",
                    "page": 512, "int8_lmhead": int8_head,
+                   "attn_int8_qk": attn_i8,
                    "step_ms_int4_32L_paged": round(t32 * 1e3, 3)},
     })
     if fast:

@@ -123,6 +123,11 @@ def _build_parser():
                         "(1, tp) mesh when > 1)")
     s.add_argument("--no-a4", action="store_true",
                    help="skip activation quantization (W4A16KV4)")
+    s.add_argument("--attn-int8-qk", action="store_true",
+                   help="decode-attention QK on the int8 MXU path (2x the "
+                        "bf16 rate; q rounds to int8 at the same error "
+                        "order as the default path's bf16 cast — see "
+                        "benchmarks/attn_int8_ppl.py)")
     s.add_argument("--seed", type=int, default=0)
 
     lt = sub.add_parser(
@@ -299,7 +304,8 @@ def cmd_serve(a):
     sc = S.ServingConfig(model=cfg, a4=not a.no_a4, kv_int4=True,
                          kv_hadamard=True,
                          online_had=manifest.get("rotate", False),
-                         max_seq=a.max_seq)
+                         max_seq=a.max_seq,
+                         attn_int8_qk=a.attn_int8_qk)
     rng = np.random.default_rng(a.seed)
     prompts = [rng.integers(0, cfg.vocab_size, size=a.prompt_len)
                for _ in range(a.requests)]

@@ -263,19 +263,27 @@ def int4_decode_attention(q, kq, kp, vq, vp, lengths, *, sm_scale=None,
 
 
 def _attend_tile(q_all, kq2d, kpb, vq2d, vpb, base, length,
-                 m_ref, l_ref, acc_ref, *, heads):
+                 m_ref, l_ref, acc_ref, *, heads, int8_qk=False):
     """One online-softmax step over a (H*D/2, ch) packed K/V tile,
     accumulating into the (m, l, acc) scratch.  Takes VALUES (already read
     from whatever blocks hold them — one contiguous chunk, or several
     concatenated pool pages in the paged kernels); `base` is the global
     position of the tile's first token.
     q_all: (H, Gp, D) f32, PRE-scaled by sm_scale;
-    kq2d/vq2d: uint8 (H*D/2, ch) lane-major; kpb/vpb: (H, 2, ch) f32."""
+    kq2d/vq2d: uint8 (H*D/2, ch) lane-major; kpb/vpb: (H, 2, ch) f32.
+
+    int8_qk: run the QK contraction on the int8 MXU path (2x the bf16
+    rate on v5e) — q is symmetric-int8 per (head, group) row and the
+    UNSIGNED K nibbles (0..15) feed the dot directly: the cache's
+    zero-point already folds through the existing rank-1 `kz` epilogue,
+    so no bias correction is needed, only the per-row q scale.  q's
+    round-trip error (~1/254 per element) is the same order as the bf16
+    cast the default path performs; opt-in because it perturbs logits
+    enough to reshuffle near-tie INT4 codes in a4 cascades."""
     H = heads
     Gp = q_all.shape[1]
     D2, ch = kq2d.shape[0] // H, kq2d.shape[1]
     D = 2 * D2
-    qsum = jnp.sum(q_all, axis=2, keepdims=True)      # (H, Gp, 1)
 
     # ---- merged QK dot: ONE (H*Gp, H*D) @ (H*D, ch) block-diagonal
     # matmul instead of H separate (Gp, D) @ (D, ch) dots.  Same MXU
@@ -285,19 +293,42 @@ def _attend_tile(q_all, kq2d, kpb, vq2d, vpb, base, length,
     # dominates small-tile matmuls.  The stacked unpack is free:
     # (H, D/2, ch) reshapes row-major to the (H*D, ch) contraction
     # layout the dot needs.
-    qflat = q_all.reshape(H * Gp, D).astype(jnp.bfloat16)
-    qtile = jnp.tile(qflat, (1, H))                   # (H*Gp, H*D)
     col_h = jax.lax.broadcasted_iota(
         jnp.int32, (H * Gp, H * D), 1) // D
     row_h = jax.lax.broadcasted_iota(
         jnp.int32, (H * Gp, H * D), 0) // Gp
-    qbd = jnp.where(col_h == row_h, qtile, 0)
-
-    k_lo, k_hi = _unpack_u4_bf16(kq2d)                # (H*D/2, ch)
-    kf = (jnp.concatenate(
-        [k_lo.reshape(H, D2, ch), k_hi.reshape(H, D2, ch)], axis=1)
-        .reshape(H * D, ch))                          # head-major rows
-    raw = jnp.dot(qbd, kf, preferred_element_type=jnp.float32)
+    w32 = pltpu.bitcast(kq2d, jnp.int32)
+    if int8_qk:
+        qflat_f = q_all.reshape(H * Gp, D)
+        qmax = jnp.max(jnp.abs(qflat_f), axis=1, keepdims=True)
+        qs = jnp.where(qmax == 0, 1.0, qmax / 127.0)  # (H*Gp, 1)
+        q_i8 = jnp.clip(jnp.round(qflat_f / qs), -127, 127
+                        ).astype(jnp.int8)
+        qbd = jnp.where(col_h == row_h, jnp.tile(q_i8, (1, H)), 0)
+        k_lo = pltpu.bitcast(w32 & 0x0F0F0F0F, jnp.int8)
+        k_hi = pltpu.bitcast((w32 >> 4) & 0x0F0F0F0F, jnp.int8)
+        kf = (jnp.concatenate(
+            [k_lo.reshape(H, D2, ch), k_hi.reshape(H, D2, ch)], axis=1)
+            .reshape(H * D, ch))
+        raw = (jnp.dot(qbd, kf, preferred_element_type=jnp.int32)
+               .astype(jnp.float32) * qs)
+        # the epilogue's zero-point term must use the sum of the q the
+        # dot ACTUALLY saw (the int8 round-trip), not the f32 original
+        qsum = (jnp.sum(q_i8.astype(jnp.float32), axis=1, keepdims=True)
+                * qs).reshape(H, Gp, 1)
+    else:
+        qsum = jnp.sum(q_all, axis=2, keepdims=True)  # (H, Gp, 1)
+        qflat = q_all.reshape(H * Gp, D).astype(jnp.bfloat16)
+        qtile = jnp.tile(qflat, (1, H))               # (H*Gp, H*D)
+        qbd = jnp.where(col_h == row_h, qtile, 0)
+        k_lo = pltpu.bitcast(w32 & 0x0F0F0F0F, jnp.int8
+                             ).astype(jnp.bfloat16)
+        k_hi = pltpu.bitcast((w32 >> 4) & 0x0F0F0F0F, jnp.int8
+                             ).astype(jnp.bfloat16)
+        kf = (jnp.concatenate(
+            [k_lo.reshape(H, D2, ch), k_hi.reshape(H, D2, ch)], axis=1)
+            .reshape(H * D, ch))                      # head-major rows
+        raw = jnp.dot(qbd, kf, preferred_element_type=jnp.float32)
 
     ks = kpb[:, 0:1, :].astype(jnp.float32)           # (H, 1, ch)
     kz = kpb[:, 1:2, :].astype(jnp.float32)
@@ -341,7 +372,7 @@ def _attend_tile(q_all, kq2d, kpb, vq2d, vpb, base, length,
 
 
 def _attend_chunks(idx_ref, q_ref, kq_ref, kp_ref, vq_ref, vp_ref,
-                   m_ref, l_ref, acc_ref, *, chunk, heads):
+                   m_ref, l_ref, acc_ref, *, chunk, heads, int8_qk=False):
     """Shared chunk body of the stacked INT4 flash-decode kernels: one
     online-softmax step over this grid cell's (batch, chunk) cache block,
     accumulating into the (m, l, acc) scratch."""
@@ -364,12 +395,12 @@ def _attend_chunks(idx_ref, q_ref, kq_ref, kp_ref, vq_ref, vp_ref,
                      kq_ref[0, 0].reshape(H * D2, ch),
                      kp_ref[0, 0], vq_ref[0, 0].reshape(H * D2, ch),
                      vp_ref[0, 0], base, length, m_ref, l_ref, acc_ref,
-                     heads=heads)
+                     heads=heads, int8_qk=int8_qk)
 
 
 def _decode_kernel_pref(idx_ref, q_ref, kq_ref, kp_ref, vq_ref,
                         vp_ref, out_ref, m_out_ref, l_out_ref, m_ref, l_ref,
-                        acc_ref, *, chunk, nchunks, heads):
+                        acc_ref, *, chunk, nchunks, heads, int8_qk=False):
     """Stacked INT4 flash-decode kernel: cache blocks come from the FULL
     stacked (L, B, H, ...) arrays, selected by the prefetched layer index
     (slicing the cache per layer would copy ~9 MB/layer/step).
@@ -390,7 +421,8 @@ def _decode_kernel_pref(idx_ref, q_ref, kq_ref, kp_ref, vq_ref,
     in place (a scatter racing a custom-call consumer forces a full cache
     copy per layer: ~300 MB, measured as 76 ms of a 90 ms decode step)."""
     _attend_chunks(idx_ref, q_ref, kq_ref, kp_ref, vq_ref, vp_ref,
-                   m_ref, l_ref, acc_ref, chunk=chunk, heads=heads)
+                   m_ref, l_ref, acc_ref, chunk=chunk, heads=heads,
+                   int8_qk=int8_qk)
 
     @pl.when(pl.program_id(1) == nchunks - 1)
     def _():
@@ -441,7 +473,7 @@ def _self_fold_finalize(q_all, ks, vs, out_ref, m_ref, l_ref,
 
 def _decode_kernel_pref_self(idx_ref, q_ref, kq_ref, kp_ref, vq_ref, vp_ref,
                              ks_ref, vs_ref, out_ref, m_ref, l_ref, acc_ref,
-                             *, chunk, nchunks, heads):
+                             *, chunk, nchunks, heads, int8_qk=False):
     """_decode_kernel_pref variant that folds the CURRENT token's
     self-attention term in-kernel: ks_ref/vs_ref hold the (1, H, D)
     dequantized cache-basis K/V of the token being appended, applied as one
@@ -449,7 +481,8 @@ def _decode_kernel_pref_self(idx_ref, q_ref, kq_ref, kp_ref, vq_ref, vp_ref,
     merge_self_attention fusion chain and the m/l kernel outputs (~0.3 ms of
     small per-layer XLA fusions at decode shapes, trace r3)."""
     _attend_chunks(idx_ref, q_ref, kq_ref, kp_ref, vq_ref, vp_ref,
-                   m_ref, l_ref, acc_ref, chunk=chunk, heads=heads)
+                   m_ref, l_ref, acc_ref, chunk=chunk, heads=heads,
+                   int8_qk=int8_qk)
 
     @pl.when(pl.program_id(1) == nchunks - 1)
     def _():
@@ -459,9 +492,11 @@ def _decode_kernel_pref_self(idx_ref, q_ref, kq_ref, kp_ref, vq_ref, vp_ref,
                             out_ref, m_ref, l_ref, acc_ref)
 
 
-@functools.partial(jax.jit, static_argnames=("sm_scale", "chunk", "interpret"))
+@functools.partial(jax.jit, static_argnames=("sm_scale", "chunk", "int8_qk",
+                                             "interpret"))
 def int4_decode_attention_stacked(q, kq_all, kp_all, vq_all, vp_all, layer,
                                   lengths, *, sm_scale=None, chunk: int = 512,
+                                  int8_qk: bool = False,
                                   interpret: bool | None = None):
     """int4_decode_attention against layer `layer` of the stacked cache
     (L, B, Hkv, D/2, S) without slicing it (see _decode_kernel_pref).
@@ -495,7 +530,7 @@ def int4_decode_attention_stacked(q, kq_all, kp_all, vq_all, vp_all, layer,
     grid = (B, nchunks)
     out, m, l = pl.pallas_call(
         functools.partial(_decode_kernel_pref, chunk=ch, nchunks=nchunks,
-                          heads=Hkv),
+                          heads=Hkv, int8_qk=int8_qk),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
@@ -540,10 +575,12 @@ def int4_decode_attention_stacked(q, kq_all, kp_all, vq_all, vp_all, layer,
             l[:, :, :G, 0])
 
 
-@functools.partial(jax.jit, static_argnames=("sm_scale", "chunk", "interpret"))
+@functools.partial(jax.jit, static_argnames=("sm_scale", "chunk", "int8_qk",
+                                             "interpret"))
 def int4_decode_attention_stacked_self(q, kq_all, kp_all, vq_all, vp_all,
                                        layer, lengths, k_self, v_self, *,
                                        sm_scale=None, chunk: int = 512,
+                                       int8_qk: bool = False,
                                        interpret: bool | None = None):
     """int4_decode_attention_stacked with the CURRENT token's self-attention
     term folded in-kernel.
@@ -576,7 +613,7 @@ def int4_decode_attention_stacked_self(q, kq_all, kp_all, vq_all, vp_all,
     grid = (B, nchunks)
     out = pl.pallas_call(
         functools.partial(_decode_kernel_pref_self, chunk=ch,
-                          nchunks=nchunks, heads=Hkv),
+                          nchunks=nchunks, heads=Hkv, int8_qk=int8_qk),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
@@ -619,7 +656,7 @@ def _decode_kernel_self_append(idx_ref, q_ref, kq_ref, kp_ref, vq_ref,
                                nvq_ref, nvp_ref, out_ref, okq_ref,
                                okp_ref, ovq_ref, ovp_ref, m_ref, l_ref,
                                acc_ref, *, chunk, nchunks, heads,
-                               mix=False, G=None):
+                               mix=False, G=None, int8_qk=False):
     """Self-folding decode that ALSO appends the new token in the SAME
     kernel (the contiguous twin of paged_kv._paged_kernel_self_append):
     the finalize step's clamped-chunk DMA already holds the sequence chunk
@@ -628,7 +665,8 @@ def _decode_kernel_self_append(idx_ref, q_ref, kq_ref, kp_ref, vq_ref,
     the append opens a fresh chunk, lanes beyond the new token carry stale
     content, always masked by `lengths` on read."""
     _attend_chunks(idx_ref, q_ref, kq_ref, kp_ref, vq_ref, vp_ref,
-                   m_ref, l_ref, acc_ref, chunk=chunk, heads=heads)
+                   m_ref, l_ref, acc_ref, chunk=chunk, heads=heads,
+                   int8_qk=int8_qk)
     b = pl.program_id(0)
     col = idx_ref[1 + b] % chunk
 
@@ -652,12 +690,14 @@ def _decode_kernel_self_append(idx_ref, q_ref, kq_ref, kp_ref, vq_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("sm_scale", "chunk",
-                                             "mix_heads", "interpret"))
+                                             "mix_heads", "int8_qk",
+                                             "interpret"))
 def int4_decode_attention_self_append(q, kq_all, kp_all, vq_all, vp_all,
                                       layer, lengths, k_self, v_self,
                                       nkq, nkp, nvq, nvp, *, sm_scale=None,
                                       chunk: int = 512,
                                       mix_heads: bool = False,
+                                      int8_qk: bool = False,
                                       interpret: bool | None = None):
     """Fused self-folding contiguous decode + in-place cache append.
 
@@ -715,7 +755,8 @@ def int4_decode_attention_self_append(q, kq_all, kp_all, vq_all, vp_all,
         assert is_pow2(Hq), "fused head mix needs a pow2 head count"
     out, kq2, kp2, vq2, vp2 = pl.pallas_call(
         functools.partial(_decode_kernel_self_append, chunk=ch,
-                          nchunks=nchunks, heads=Hkv, mix=mix_heads, G=G),
+                          nchunks=nchunks, heads=Hkv, mix=mix_heads, G=G,
+                          int8_qk=int8_qk),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,

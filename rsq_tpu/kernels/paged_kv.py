@@ -120,7 +120,7 @@ def _group_copies(idx_ref, ptab_ref, kq_hbm, kp_hbm, vq_hbm, vp_hbm,
 def _paged_dma_attend(idx_ref, ptab_ref, bidx_ref, init_ref, q_all,
                       kq_hbm, kp_hbm, vq_hbm, vp_hbm, kbuf, kpbuf, vbuf,
                       vpbuf, sems, m_ref, l_ref, acc_ref, *, page, gp,
-                      npg, B, heads):
+                      npg, B, heads, int8_qk=False):
     """Shared manual-DMA attention body of the paged decode kernels.
 
     Grid (B, ceil(NP/gp)); the page pools stay in HBM (memory_space=ANY)
@@ -176,7 +176,8 @@ def _paged_dma_attend(idx_ref, ptab_ref, bidx_ref, init_ref, q_all,
         ch = gp * page
         _attend_tile(q_all(), kbuf[slot].reshape(H * D2, ch), kpbuf[slot],
                      vbuf[slot].reshape(H * D2, ch), vpbuf[slot],
-                     i * bk, length, m_ref, l_ref, acc_ref, heads=H)
+                     i * bk, length, m_ref, l_ref, acc_ref, heads=H,
+                     int8_qk=int8_qk)
 
 
 def _fin_cond(idx_ref, *, bk, npg):
@@ -196,12 +197,12 @@ def _fin_cond(idx_ref, *, bk, npg):
 def _paged_kernel_fast(idx_ref, ptab_ref, bidx_ref, init_ref, q_ref,
                        kq_hbm, kp_hbm, vq_hbm, vp_hbm, out_ref, kbuf,
                        kpbuf, vbuf, vpbuf, sems, m_ref, l_ref, acc_ref,
-                       *, page, gp, npg, B, heads):
+                       *, page, gp, npg, B, heads, int8_qk=False):
     _paged_dma_attend(idx_ref, ptab_ref, bidx_ref, init_ref,
                       lambda: q_ref[0].astype(jnp.float32),
                       kq_hbm, kp_hbm, vq_hbm, vp_hbm, kbuf, kpbuf, vbuf,
                       vpbuf, sems, m_ref, l_ref, acc_ref, page=page,
-                      gp=gp, npg=npg, B=B, heads=heads)
+                      gp=gp, npg=npg, B=B, heads=heads, int8_qk=int8_qk)
 
     @pl.when(_fin_cond(idx_ref, bk=gp * page, npg=npg))
     def _():
@@ -213,7 +214,7 @@ def _paged_kernel_fast_self(idx_ref, ptab_ref, bidx_ref, init_ref, q_ref,
                             kq_hbm, kp_hbm, vq_hbm, vp_hbm, ks_ref,
                             vs_ref, out_ref, kbuf, kpbuf, vbuf, vpbuf,
                             sems, m_ref, l_ref, acc_ref, *, page, gp,
-                            npg, B, heads):
+                            npg, B, heads, int8_qk=False):
     """Self-folding twin (kv_cache._decode_kernel_pref_self): the CURRENT
     token's dequantized (k_self, v_self) joins as one more online-softmax
     step in the finalize, so the kernel only ever READS the pool and the
@@ -222,7 +223,7 @@ def _paged_kernel_fast_self(idx_ref, ptab_ref, bidx_ref, init_ref, q_ref,
                       lambda: q_ref[0].astype(jnp.float32),
                       kq_hbm, kp_hbm, vq_hbm, vp_hbm, kbuf, kpbuf, vbuf,
                       vpbuf, sems, m_ref, l_ref, acc_ref, page=page,
-                      gp=gp, npg=npg, B=B, heads=heads)
+                      gp=gp, npg=npg, B=B, heads=heads, int8_qk=int8_qk)
 
     @pl.when(_fin_cond(idx_ref, bk=gp * page, npg=npg))
     def _():
@@ -279,10 +280,11 @@ def int4_paged_decode_attention(q, kq, kp, vq, vp, page_table, lengths, *,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("sm_scale", "interpret"))
+                   static_argnames=("sm_scale", "int8_qk", "interpret"))
 def int4_paged_decode_attention_stacked(q, kq_all, kp_all, vq_all, vp_all,
                                         layer, page_table, lengths, *,
                                         sm_scale=None,
+                                        int8_qk: bool = False,
                                         interpret: bool | None = None):
     """int4_paged_decode_attention against layer `layer` of the stacked pool
     (L, P, Hkv, D/2, page) without slicing it (layer rides scalar
@@ -299,7 +301,7 @@ def int4_paged_decode_attention_stacked(q, kq_all, kp_all, vq_all, vp_all,
     qspec = pl.BlockSpec((1, Hkv, Gp, D), lambda b, p, *_: (b, 0, 0, 0))
     out = pl.pallas_call(
         functools.partial(_paged_kernel_fast, page=page, gp=gp, npg=npg,
-                          B=B, heads=Hkv),
+                          B=B, heads=Hkv, int8_qk=int8_qk),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=4,
             grid=(B, npg),
@@ -319,11 +321,12 @@ def int4_paged_decode_attention_stacked(q, kq_all, kp_all, vq_all, vp_all,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("sm_scale", "interpret"))
+                   static_argnames=("sm_scale", "int8_qk", "interpret"))
 def int4_paged_decode_attention_stacked_self(q, kq_all, kp_all, vq_all,
                                              vp_all, layer, page_table,
                                              lengths, k_self, v_self, *,
                                              sm_scale=None,
+                                             int8_qk: bool = False,
                                              interpret: bool | None = None):
     """Stacked paged decode with the CURRENT token's self-attention folded
     in-kernel.  lengths counts CACHED tokens (the new token is NOT in the
@@ -342,7 +345,7 @@ def int4_paged_decode_attention_stacked_self(q, kq_all, kp_all, vq_all,
     sspec = pl.BlockSpec((1, Hkv, D), lambda b, p, *_: (b, 0, 0))
     out = pl.pallas_call(
         functools.partial(_paged_kernel_fast_self, page=page, gp=gp,
-                          npg=npg, B=B, heads=Hkv),
+                          npg=npg, B=B, heads=Hkv, int8_qk=int8_qk),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=4,
             grid=(B, npg),
@@ -387,7 +390,7 @@ def _paged_kernel_self_append(idx_ref, ptab_ref, bidx_ref, init_ref,
                               q_ref, kq_hbm, kp_hbm, vq_hbm, vp_hbm,
                               ks_ref, vs_ref, nkq_ref, nkp_ref, nvq_ref,
                               nvp_ref, *rest, page, gp, npg, B, heads,
-                              mix=False, G=None):
+                              mix=False, G=None, int8_qk=False):
     """Self-folding paged decode that ALSO appends the new token, in ONE
     kernel.  The WRITE page (ptab[b, lengths[b] // page], possibly
     partially filled) is staged into dedicated VMEM scratch by an async
@@ -431,7 +434,7 @@ def _paged_kernel_self_append(idx_ref, ptab_ref, bidx_ref, init_ref,
                       lambda: q_ref[0].astype(jnp.float32),
                       kq_hbm, kp_hbm, vq_hbm, vp_hbm, kbuf, kpbuf, vbuf,
                       vpbuf, sems, m_ref, l_ref, acc_ref, page=page,
-                      gp=gp, npg=npg, B=B, heads=heads)
+                      gp=gp, npg=npg, B=B, heads=heads, int8_qk=int8_qk)
 
     @pl.when(_fin_cond(idx_ref, bk=gp * page, npg=npg))
     def _():
@@ -456,6 +459,7 @@ def _paged_kernel_self_append(idx_ref, ptab_ref, bidx_ref, init_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("sm_scale", "mix_heads",
+                                             "flat", "int8_qk",
                                              "interpret"))
 def int4_paged_decode_attention_self_append(q, kq_all, kp_all, vq_all,
                                             vp_all, layer, page_table,
@@ -463,6 +467,8 @@ def int4_paged_decode_attention_self_append(q, kq_all, kp_all, vq_all,
                                             nkq, nkp, nvq, nvp, *,
                                             sm_scale=None,
                                             mix_heads: bool = False,
+                                            flat: bool | None = None,
+                                            int8_qk: bool = False,
                                             interpret: bool | None = None):
     """Fused self-folding paged decode + in-place pool append.
 
@@ -473,7 +479,13 @@ def int4_paged_decode_attention_self_append(q, kq_all, kp_all, vq_all,
     (B, Hkv, 2, 1) (cache contents).  Returns
     (out (B, Hq, D), kq', kp', vq', vp').  Pages must hold >= 128 tokens
     (full-page output blocks need lane-aligned pages); use the separate
-    paged_append_pool for smaller test pages."""
+    paged_append_pool for smaller test pages.
+
+    flat: run all work items in ONE grid step (the flat kernel) instead
+    of the (B, npg) grid.  Default: flat when the unrolled work list is
+    small (B * npg <= 32 — serving decode shapes); the grid kernel
+    remains for large batch x page-count products where unrolling bloats
+    the program."""
     from rsq_tpu.kernels import default_interpret
     interpret = default_interpret(interpret)
     B, Hq, D = q.shape
@@ -482,6 +494,18 @@ def int4_paged_decode_attention_self_append(q, kq_all, kp_all, vq_all,
     gp = pick_page_group(NP, page)
     npg = -(-NP // gp)
     qg, G, Gp = _paged_q_prep(q, Hkv, sm_scale)
+    if mix_heads:
+        from rsq_tpu.core.hadamard import is_pow2
+        assert is_pow2(Hq), "fused head mix needs a pow2 head count"
+    if flat is None:
+        flat = B * npg <= 32
+    if flat:
+        out, kq2, kp2, vq2, vp2 = _self_append_flat_call(
+            qg, kq_all, kp_all, vq_all, vp_all, layer, page_table,
+            lengths, k_self, v_self, nkq, nkp, nvq, nvp, page=page, gp=gp,
+            npg=npg, B=B, Hkv=Hkv, Gp=Gp, G=G, mix_heads=mix_heads,
+            int8_qk=int8_qk, out_dtype=q.dtype, interpret=interpret)
+        return out[:, :, :G, :].reshape(B, Hq, D), kq2, kp2, vq2, vp2
 
     qspec = pl.BlockSpec((1, Hkv, Gp, D), lambda b, p, *_: (b, 0, 0, 0))
     sspec = pl.BlockSpec((1, Hkv, D), lambda b, p, *_: (b, 0, 0))
@@ -525,7 +549,8 @@ def int4_paged_decode_attention_self_append(q, kq_all, kp_all, vq_all,
     # bidx=2, init=3, q=4, pools kq/kp/vq/vp = 5..8 -> outputs 1..4
     out, kq2, kp2, vq2, vp2 = pl.pallas_call(
         functools.partial(_paged_kernel_self_append, page=page, gp=gp,
-                          npg=npg, B=B, heads=Hkv, mix=mix_heads, G=G),
+                          npg=npg, B=B, heads=Hkv, mix=mix_heads, G=G,
+                          int8_qk=int8_qk),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=4,
             grid=(B, npg),
@@ -551,6 +576,198 @@ def int4_paged_decode_attention_self_append(q, kq_all, kp_all, vq_all,
       bcast(nkq, kq_all.dtype), bcast(nkp, kp_all.dtype),
       bcast(nvq, vq_all.dtype), bcast(nvp, vp_all.dtype))
     return out[:, :, :G, :].reshape(B, Hq, D), kq2, kp2, vq2, vp2
+
+
+def _paged_kernel_self_append_flat(idx_ref, ptab_ref, qg_ref, kq_hbm,
+                                   kp_hbm, vq_hbm, vp_hbm, ks_ref, vs_ref,
+                                   nkq_ref, nkp_ref, nvq_ref, nvp_ref,
+                                   out_ref, okq_ref, okp_ref, ovq_ref,
+                                   ovp_ref, kbuf, kpbuf, vbuf, vpbuf, sems,
+                                   wkq, wkp, wvq, wvp, wsems, sstate,
+                                   m_ref, l_ref, acc_ref, *, page, gp, npg,
+                                   B, heads, mix, G, int8_qk=False):
+    """Single-grid-step ("flat") twin of _paged_kernel_self_append: ALL
+    B x npg work items run inside ONE grid step as an unrolled loop, so
+    the per-grid-step dispatch (~0.65 us, BENCHMARKS §3) is paid once per
+    layer instead of B*npg times — at the headline shape (B=8, page 512,
+    fill 512) HALF the old (B, npg) grid's steps were past the fill and
+    did nothing but still dispatched (measured ~38.6 us/layer total,
+    trace r5; the real work floor is ~25 us).  The manual DMA chain is
+    unchanged: the same double-buffered page-group copies with
+    lengths-driven exact skipping (`_next_work`), the same _attend_tile
+    body.  What changes structurally:
+    - the per-row (m, l, acc) scratch is REUSED across rows (items run
+      in row-major order, each row's state resets at its first group);
+    - the pool writes go out as manual async copies at each row's
+      finalize (drained before the kernel returns) instead of aliased
+      BlockSpec window flushes — the pool OUTPUTS are ANY-space refs;
+    - the DMA slot / first-item flags live in SMEM scratch (`sstate`)
+      rather than abused scalar-prefetch operands."""
+    bk = gp * page
+    layer = idx_ref[0]
+    sstate[0] = 0  # current double-buffer slot
+    sstate[1] = 1  # nothing prefetched yet
+
+    def wcopies(b, out_dir):
+        length = idx_ref[1 + b]
+        wpid = ptab_ref[b, length // page]
+        wlane = ((length % page) // 128) * 128
+        pairs = ((okq_ref if out_dir else kq_hbm, wkq),
+                 (okp_ref if out_dir else kp_hbm, wkp),
+                 (ovq_ref if out_dir else vq_hbm, wvq),
+                 (ovp_ref if out_dir else vp_hbm, wvp))
+        cs = []
+        for t, (hbm, wb) in enumerate(pairs):
+            win = hbm.at[layer, wpid, :, :, pl.ds(wlane, 128)]
+            src, dst = (wb.at[b], win) if out_dir else (win, wb.at[b])
+            cs.append(pltpu.make_async_copy(src, dst, wsems.at[b, t]))
+        return cs
+
+    # stage every row's append window up front: 4*B small (128-lane)
+    # copies that ride under the attention page-group chain.  Rows
+    # sharing a write page (inactive rows on one scratch page) race only
+    # on garbage lanes that every reader masks by `lengths`.
+    for b in range(B):
+        for c in wcopies(b, False):
+            c.start()
+
+    def copies(bb, ii, slot):
+        return _group_copies(idx_ref, ptab_ref, kq_hbm, kp_hbm, vq_hbm,
+                             vp_hbm, kbuf, kpbuf, vbuf, vpbuf, sems,
+                             bb, ii, slot, page=page, gp=gp, B=B)
+
+    H = heads
+    D2 = kbuf.shape[2]
+    ch = gp * page
+    for w in range(B * npg):
+        b, i = divmod(w, npg)
+        length = idx_ref[1 + b]
+        if i == 0:
+            m_ref[...] = jnp.full_like(m_ref, -jnp.inf)
+            l_ref[...] = jnp.zeros_like(l_ref)
+            acc_ref[...] = jnp.zeros_like(acc_ref)
+
+        @pl.when(i * bk < length)
+        def _(b=b, i=i):
+            slot = sstate[0]
+            first = sstate[1]
+            sstate[1] = 0
+            nb, ni = _next_work(idx_ref, b, i, B=B, bk=bk)
+
+            @pl.when(first == 1)
+            def _():  # very first real item: nothing was prefetched yet
+                for c in copies(b, i, slot):
+                    c.start()
+
+            @pl.when(nb < B)
+            def _():  # overlap the next item's pages with this compute
+                for c in copies(nb, ni, 1 - slot):
+                    c.start()
+                sstate[0] = 1 - slot
+
+            for c in copies(b, i, slot):
+                c.wait()
+            _attend_tile(qg_ref[b], kbuf[slot].reshape(H * D2, ch),
+                         kpbuf[slot], vbuf[slot].reshape(H * D2, ch),
+                         vpbuf[slot], i * bk, length, m_ref, l_ref,
+                         acc_ref, heads=H, int8_qk=int8_qk)
+
+        last_real = (i * bk < length) & ((i + 1) * bk >= length)
+
+        @pl.when(last_real | ((length == 0) & (i == npg - 1)))
+        def _(b=b, length=length):
+            _self_fold_finalize(qg_ref[b], ks_ref[b].astype(jnp.float32),
+                                vs_ref[b].astype(jnp.float32),
+                                out_ref.at[pl.ds(b, 1)], m_ref, l_ref,
+                                acc_ref, mix, G)
+            for c in wcopies(b, False):
+                c.wait()
+            col = length % 128
+
+            def wr(wb, n_ref):
+                h, x = n_ref.shape[1], n_ref.shape[2]
+                lane = jax.lax.broadcasted_iota(jnp.int32, (h, x, 128), 2)
+                new = jnp.broadcast_to(n_ref[b, :, :, 0:1], (h, x, 128))
+                wb[b] = jnp.where(lane == col, new, wb[b])
+
+            wr(wkq, nkq_ref)
+            wr(wkp, nkp_ref)
+            wr(wvq, nvq_ref)
+            wr(wvp, nvp_ref)
+            for c in wcopies(b, True):
+                c.start()
+
+    # drain the write-backs: every started DMA must complete before the
+    # kernel returns
+    for b in range(B):
+        for c in wcopies(b, True):
+            c.wait()
+
+
+def _self_append_flat_call(qg, kq_all, kp_all, vq_all, vp_all, layer,
+                           page_table, lengths, k_self, v_self, nkq, nkp,
+                           nvq, nvp, *, page, gp, npg, B, Hkv, Gp, G,
+                           mix_heads, int8_qk, out_dtype, interpret):
+    """pallas_call plumbing of the flat fused kernel (grid (1,), ANY-space
+    aliased pool outputs, manual write-back DMAs)."""
+    L, P, _, D2, _ = kq_all.shape
+    D = 2 * D2
+    full = pl.BlockSpec((B, Hkv, Gp, D), lambda g, *_: (0, 0, 0, 0))
+    sfull = pl.BlockSpec((B, Hkv, D), lambda g, *_: (0, 0, 0))
+
+    def nblk(x):
+        return pl.BlockSpec((B, Hkv, x, 128), lambda g, *_: (0, 0, 0, 0))
+
+    def bcast(v, dt):
+        return jnp.broadcast_to(v.astype(dt), (*v.shape[:-1], 128))
+
+    anyspec = pl.BlockSpec(memory_space=pl.ANY)
+    scratch = [
+        pltpu.VMEM((2, Hkv, D2, gp * page), jnp.uint8),
+        pltpu.VMEM((2, Hkv, 2, gp * page), kp_all.dtype),
+        pltpu.VMEM((2, Hkv, D2, gp * page), jnp.uint8),
+        pltpu.VMEM((2, Hkv, 2, gp * page), vp_all.dtype),
+        pltpu.SemaphoreType.DMA((2, 4)),
+        pltpu.VMEM((B, Hkv, D2, 128), kq_all.dtype),
+        pltpu.VMEM((B, Hkv, 2, 128), kp_all.dtype),
+        pltpu.VMEM((B, Hkv, D2, 128), vq_all.dtype),
+        pltpu.VMEM((B, Hkv, 2, 128), vp_all.dtype),
+        pltpu.SemaphoreType.DMA((B, 4)),
+        pltpu.SMEM((2,), jnp.int32),
+        pltpu.VMEM((Hkv, Gp, 128), jnp.float32),
+        pltpu.VMEM((Hkv, Gp, 128), jnp.float32),
+        pltpu.VMEM((Hkv, Gp, D), jnp.float32),
+    ]
+    # operands incl. the 2 scalar-prefetch args: idx=0, ptab=1, qg=2,
+    # pools kq/kp/vq/vp = 3..6 -> outputs 1..4
+    return pl.pallas_call(
+        functools.partial(_paged_kernel_self_append_flat, page=page, gp=gp,
+                          npg=npg, B=B, heads=Hkv, mix=mix_heads, G=G,
+                          int8_qk=int8_qk),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(1,),
+            in_specs=([full] + [anyspec] * 4 + [sfull, sfull,
+                      nblk(D2), nblk(2), nblk(D2), nblk(2)]),
+            out_specs=[full, anyspec, anyspec, anyspec, anyspec],
+            scratch_shapes=scratch,
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((B, Hkv, Gp, D), out_dtype),
+            jax.ShapeDtypeStruct(kq_all.shape, kq_all.dtype),
+            jax.ShapeDtypeStruct(kp_all.shape, kp_all.dtype),
+            jax.ShapeDtypeStruct(vq_all.shape, vq_all.dtype),
+            jax.ShapeDtypeStruct(vp_all.shape, vp_all.dtype),
+        ],
+        input_output_aliases={3: 1, 4: 2, 5: 3, 6: 4},
+        interpret=interpret,
+    )(jnp.concatenate([jnp.asarray(layer, jnp.int32).reshape(1),
+                       lengths.astype(jnp.int32)]),
+      page_table.astype(jnp.int32),
+      qg, kq_all, kp_all, vq_all, vp_all,
+      k_self.astype(jnp.float32), v_self.astype(jnp.float32),
+      bcast(nkq, kq_all.dtype), bcast(nkp, kp_all.dtype),
+      bcast(nvq, vq_all.dtype), bcast(nvp, vp_all.dtype))
 
 
 # ---------------------------------------------------------------------------

@@ -38,6 +38,12 @@ class ServingConfig:
     online_had: bool = True      # o_proj / down_proj online Hadamards
     max_seq: int = 2048
     a_clip: float = 1.0
+    # decode attention QK on the int8 MXU path (2x the bf16 rate on v5e):
+    # q rounds to symmetric int8 per (head, group) row — the same error
+    # order as the default path's bf16 cast of q — and the UNSIGNED cache
+    # nibbles feed the dot directly (kernels/kv_cache._attend_tile).
+    # Opt-in pending a measured PPL delta (the int8-lm_head precedent).
+    attn_int8_qk: bool = False
 
     @property
     def cfg(self) -> ModelConfig:
@@ -760,7 +766,7 @@ def _decode_step_fast(params, cache, token_ids, sc: ServingConfig,
                 KVK.int4_decode_attention_self_append(
                     qh, cache["kq"], cache["kp"], cache["vq"], cache["vp"],
                     i, length, k_self, v_self, nkq, nkp, nvq, nvp,
-                    mix_heads=mixed_in_kernel)
+                    mix_heads=mixed_in_kernel, int8_qk=sc.attn_int8_qk)
         else:
             qk = M.apply_rope(
                 jnp.concatenate([q.reshape(b, 1, nq, hd),

@@ -379,7 +379,8 @@ def _decode_paged_local(params, pool, page_tables, lengths, token_ids,
                 PKV.int4_paged_decode_attention_self_append(
                     qh, pool["kq"], pool["kp"], pool["vq"], pool["vp"], i,
                     page_tables, lengths, k_self, v_self, kq_, kp_, vq_,
-                    vp_, mix_heads=mixed_in_kernel)
+                    vp_, mix_heads=mixed_in_kernel,
+                    int8_qk=sc.attn_int8_qk)
         else:
             # sub-128 pages (tests / tiny configs) violate the fused
             # kernel's window aliased-output contract (ADVICE r4 #4):

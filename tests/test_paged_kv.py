@@ -253,10 +253,12 @@ def test_paged_append_pool_small_pages_cross_boundary():
         np.testing.assert_array_equal(np.asarray(g), np.asarray(want[name]))
 
 
-def test_fused_self_append_matches_separate_kernels():
+@pytest.mark.parametrize("flat", [False, True])
+def test_fused_self_append_matches_separate_kernels(flat):
     """int4_paged_decode_attention_self_append == stacked_self attention
     followed by paged_append_pool, including the page-boundary (fresh
-    page) case."""
+    page) case — for both the (B, npg)-grid kernel and the
+    single-grid-step flat kernel (manual write-back DMAs)."""
     rng = np.random.default_rng(17)
     L, Hkv, D, page, P, B = 2, 2, 64, 128, 10, 3
     pools = [_random_pool(rng, P, Hkv, D, page) for _ in range(L)]
@@ -282,7 +284,7 @@ def test_fused_self_append_matches_separate_kernels():
         out_f, kq2, kp2, vq2, vp2 = \
             PKV.int4_paged_decode_attention_self_append(
                 q, kq, kp, vq, vp, i, ptab, lengths, k_self, v_self,
-                nkq, nkp, nvq, nvp)
+                nkq, nkp, nvq, nvp, flat=flat)
         out_s = PKV.int4_paged_decode_attention_stacked_self(
             q, kq, kp, vq, vp, i, ptab, lengths, k_self, v_self)
         np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_s),
@@ -307,3 +309,43 @@ def test_fused_self_append_matches_separate_kernels():
                     # same-page case: the rest of the page preserved
                     np.testing.assert_array_equal(
                         g[i, pid, :, :, :off], w[i, pid, :, :, :off])
+
+
+@pytest.mark.parametrize("flat", [False, True])
+def test_fused_self_append_int8_qk_close_to_default(flat):
+    """attn int8 QK (q -> symmetric int8 per row, unsigned nibbles on the
+    int8 MXU) stays within bf16-q-rounding distance of the default path:
+    both round q at ~1/256 relative, so outputs must agree to ~1e-2 on
+    O(1) dequantized values (measured 9e-3 max at these shapes)."""
+    rng = np.random.default_rng(23)
+    L, Hkv, D, page, P, B = 1, 2, 64, 128, 8, 3
+    pools = [_random_pool(rng, P, Hkv, D, page)]
+    kq = jnp.stack([p[0] for p in pools])
+    kp = jnp.stack([p[1] for p in pools])
+    vq = jnp.stack([p[2] for p in pools])
+    vp = jnp.stack([p[3] for p in pools])
+    ptab = jnp.asarray([[0, 2, 5], [3, 1, 6], [4, 7, 2]], dtype=jnp.int32)
+    lengths = jnp.asarray([page + 7, page, 0], jnp.int32)
+    q = jnp.asarray(rng.standard_normal((B, Hkv * 4, D)).astype(np.float32))
+    knew = jnp.asarray(rng.standard_normal((B, Hkv, 1, D)).astype(np.float32))
+    vnew = jnp.asarray(rng.standard_normal((B, Hkv, 1, D)).astype(np.float32))
+    nkq_t, nkp_t = KVK.asym_quant_pack_head(knew)
+    nvq_t, nvp_t = KVK.asym_quant_pack_head(vnew)
+    k_self = KVK.unpack_dequant_head(nkq_t, nkp_t)[:, :, 0]
+    v_self = KVK.unpack_dequant_head(nvq_t, nvp_t)[:, :, 0]
+    nkq, nkp = KVK.to_lane_major(nkq_t, nkp_t)
+    nvq, nvp = KVK.to_lane_major(nvq_t, nvp_t)
+
+    out_bf, *pools_bf = PKV.int4_paged_decode_attention_self_append(
+        q, kq, kp, vq, vp, 0, ptab, lengths, k_self, v_self,
+        nkq, nkp, nvq, nvp, flat=flat)
+    out_i8, *pools_i8 = PKV.int4_paged_decode_attention_self_append(
+        q, kq, kp, vq, vp, 0, ptab, lengths, k_self, v_self,
+        nkq, nkp, nvq, nvp, flat=flat, int8_qk=True)
+    a, b = np.asarray(out_bf, np.float32), np.asarray(out_i8, np.float32)
+    np.testing.assert_allclose(a, b, atol=3e-2)
+    assert np.corrcoef(a.ravel(), b.ravel())[0, 1] > 0.999
+    # the append (cache contents) must be IDENTICAL — int8_qk only touches
+    # the QK contraction, never what is written to the pool
+    for g, w in zip(pools_bf, pools_i8):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
