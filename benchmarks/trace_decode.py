@@ -83,6 +83,11 @@ def main():
     ap.add_argument("--paged", type=int, default=0, metavar="PAGE",
                     help="trace the paged fast decode with this page size "
                          "instead of the contiguous path")
+    ap.add_argument("--int8-head", action="store_true",
+                    help="trace with the int8 lm_head (headline default)")
+    ap.add_argument("--int8-qk", action="store_true",
+                    help="trace with the int8-MXU attention QK path "
+                         "(headline default)")
     args = ap.parse_args()
 
     import dataclasses
@@ -99,8 +104,11 @@ def main():
     cfg = dataclasses.replace(ModelConfig.llama3_8b(),
                               num_layers=args.layers)
     sc = S.ServingConfig(model=cfg, a4=True, kv_int4=True, kv_hadamard=True,
-                         online_had=True, max_seq=args.seq)
+                         online_had=True, max_seq=args.seq,
+                         attn_int8_qk=args.int8_qk)
     params = BB.build_int4_params(cfg)
+    if args.int8_head:
+        params = S.quantize_lm_head(params)
     tok = jnp.zeros((args.batch,), jnp.int32)
 
     if args.paged:
