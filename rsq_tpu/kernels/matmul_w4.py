@@ -426,7 +426,13 @@ def _decode_blocks(M, K, Nh, block_m, block_n, block_k, decode=None):
     FEW, BIG grid steps: the measured per-grid-step overhead (~0.6 us) caps
     streaming at ~200 GB/s with 128 KB weight tiles, so widen tiles to
     multi-MB until the DMA dominates (block_sweep.py numbers on v5e).
-    Prefill shapes (large M) keep MXU-balanced tiles.
+
+    Prefill shapes (large M) are gated by the PER-i-STEP weight unpack:
+    the (bk, bn) nibble planes re-unpack for every M-block, so a small bm
+    multiplies VPU unpack work by M/bm.  The r5 sweep moved the prefill
+    defaults (128, 256, 512) -> (512, 512, 1024): 66 -> 114-128 TFLOP/s
+    across the four Llama-3-8B linear shapes at M=2048 (bm=1024+ or
+    bn>=1024 overflow VMEM on some shapes).
 
     `decode` is the caller's explicit hint (serving paths know which phase
     they are in); None falls back to the M<=32 shape heuristic (ADVICE r2
@@ -436,11 +442,11 @@ def _decode_blocks(M, K, Nh, block_m, block_n, block_k, decode=None):
     # decode defaults from the v5e sweep: (bn=2048, bk=1024) is the fastest
     # shape that compiles (4 MB double-buffered weight tiles overflow VMEM)
     if block_n is None:
-        block_n = 2048 if decode else 256
+        block_n = 2048 if decode else 512
     if block_k is None:
-        block_k = 1024 if decode else 512
-    return (min(block_m or 128, _round_up(M, 16)), min(block_n, Nh),
-            min(block_k, K))
+        block_k = 1024
+    return (min(block_m or (128 if decode else 512), _round_up(M, 16)),
+            min(block_n, Nh), min(block_k, K))
 
 
 @functools.partial(jax.jit, static_argnames=("block_m", "block_n", "block_k",
