@@ -445,6 +445,9 @@ def _decode_blocks(M, K, Nh, block_m, block_n, block_k, decode=None):
         block_n = 2048 if decode else 512
     if block_k is None:
         block_k = 1024
+    # bm=512 measured best through M=4096; an M=8192 kernel-level probe
+    # preferred 256 (144.7 vs 125.7 TFLOP/s) but the END-TO-END prefill at
+    # that M measured WORSE with 256 (1587 vs 1548 ms) — kept flat at 512
     return (min(block_m or (128 if decode else 512), _round_up(M, 16)),
             min(block_n, Nh), min(block_k, K))
 
