@@ -260,14 +260,20 @@ def test_tp_long_prefill_flash_chunked(setup):
                                rtol=2e-2, atol=2e-2)
 
 
-@pytest.mark.parametrize("dp,a4,kv_int4", [(2, True, True), (1, True, True),
-                                           (1, False, False)])
-def test_tp_fast_decode_matches_single_device(setup, dp, a4, kv_int4):
+@pytest.mark.parametrize("dp,a4,kv_int4,int8_qk",
+                         [(2, True, True, False), (1, True, True, False),
+                          (1, False, False, False), (1, True, True, True)])
+def test_tp_fast_decode_matches_single_device(setup, dp, a4, kv_int4,
+                                              int8_qk):
     """The copy-free stacked fast path under shard_map (make_tp_step_fast)
-    must match the single-device fast path (decode_step_stacked)."""
+    must match the single-device fast path (decode_step_stacked) — also
+    with the int8-MXU QK path on (both sides share the kernel, and the
+    per-(head, row) q scales are sharding-invariant, so the a4 margins
+    must hold unchanged)."""
     cfg, sparams = setup
     sc = S.ServingConfig(model=cfg, a4=a4, kv_int4=kv_int4,
-                         kv_hadamard=kv_int4, online_had=True, max_seq=128)
+                         kv_hadamard=kv_int4, online_had=True, max_seq=128,
+                         attn_int8_qk=int8_qk)
     B = 2 * dp
     ids = jnp.asarray(np.random.default_rng(0).integers(
         0, cfg.vocab_size, (B, 8)))
