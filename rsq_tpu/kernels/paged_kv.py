@@ -40,8 +40,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from rsq_tpu.kernels.kv_cache import (
     MASK_VALUE, _attend_tile, _self_fold_finalize,
-    _unpack_u4_bf16, asym_quant_pack_head, to_lane_major,
-    unpack_dequant_head)
+    asym_quant_pack_head, to_lane_major, unpack_dequant_head)
 
 
 # ---------------------------------------------------------------------------
